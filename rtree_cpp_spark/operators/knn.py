@@ -1,0 +1,133 @@
+"""Exact k-nearest-neighbors — reference K1, best-first search at
+src/rtree/builders/RTreeBulkLoad.cpp:238-302.
+
+Distributed re-expression (SURVEY.md K1): **batched cell-disk doubling**.
+All queries advance together; the driver loop iterates over *rounds*
+(O(log grid)), never over queries or data rows:
+
+    round(ρ): every open query explodes to its Chebyshev-disk cells
+              (radius ρ, JVM `sequence` explode) → broadcast-join against
+              the cover-exploded data → exact squared distance (double) →
+              window rank (sq_dist, doc_id) → per-query stats.
+    stop(q):  k candidates found AND k-th sq_dist <= d_out², where d_out
+              is the exact distance from the query point to the boundary
+              of the gathered square (sides at the domain edge count as
+              +inf — nothing lives beyond).  Any rect outside the square
+              is farther than d_out, so the top-k is provably exact.
+
+Ties at the k-th distance break deterministically by ``doc_id`` —
+documented deviation from the reference's heap-order ties (and its
+early-termination bound bug, RTreeBulkLoad.cpp:284-295, SURVEY.md K2).
+Distances are computed in float64 (more precise than the reference's
+float32; on the float32-exact fixture lattice the two agree).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.functions.geometry import sq_dist_col
+from rtree_cpp_spark.operators.cover import with_cover_cells
+
+KNN_SCHEMA = "query_id string, doc_id string, sq_dist double, rank int"
+
+
+def _disk_cells_df(qdf: DataFrame, grid: Grid) -> DataFrame:
+    """Explode (query_id, x, y, k, qcx, qcy, rho) to its disk cells."""
+    n = grid.n
+    gx0 = F.greatest(F.lit(0), F.col("qcx") - F.col("rho"))
+    gx1 = F.least(F.lit(n - 1), F.col("qcx") + F.col("rho"))
+    gy0 = F.greatest(F.lit(0), F.col("qcy") - F.col("rho"))
+    gy1 = F.least(F.lit(n - 1), F.col("qcy") + F.col("rho"))
+    return (
+        qdf.withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn("cell", F.col("_gx") * F.lit(n) + F.col("_gy"))
+        .drop("_gx", "_gy")
+    )
+
+
+def knn(data_rects: DataFrame, queries: DataFrame, grid: Grid, initial_radius: int = 1) -> DataFrame:
+    """data_rects(doc_id, min_x..max_y) x queries(query_id, x, y, k)
+    → (query_id, doc_id, sq_dist, rank), exact, rank 1..k ascending.
+
+    The query batch (like the reference's query file, src/Main.cpp:216)
+    is driver-resident; the DATA side is never collected.
+    """
+    spark = data_rects.sparkSession
+    d = with_cover_cells(data_rects, grid).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        qp = queries.select("query_id", "x", "y", "k").toPandas()
+        if len(qp) == 0:
+            return spark.createDataFrame([], KNN_SCHEMA)
+        qp["qcx"] = grid.cx_of(qp["x"].to_numpy())
+        qp["qcy"] = grid.cx_of(qp["y"].to_numpy())
+        qp["rho"] = initial_radius
+        open_mask = np.ones(len(qp), dtype=bool)
+        s, n = grid.cell_size, grid.n
+        results: list[DataFrame] = []
+
+        while open_mask.any():
+            sub = qp.loc[open_mask, ["query_id", "x", "y", "k", "qcx", "qcy", "rho"]]
+            qdf = spark.createDataFrame(sub)
+            cand = d.join(F.broadcast(_disk_cells_df(qdf, grid)), "cell").dropDuplicates(
+                ["query_id", "doc_id"]
+            )
+            scored = cand.withColumn(
+                "sq_dist",
+                sq_dist_col(
+                    F.col("x").cast("double"), F.col("y").cast("double"),
+                    F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+                    F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+                ),
+            )
+            w = Window.partitionBy("query_id").orderBy("sq_dist", "doc_id")
+            ranked = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= F.col("k"))
+                .select("query_id", "doc_id", "sq_dist", "rank")
+            )
+            stats = {
+                r["query_id"]: (r["cnt"], r["kth"])
+                for r in ranked.groupBy("query_id")
+                .agg(F.count("*").alias("cnt"), F.max("sq_dist").alias("kth"))
+                .collect()
+            }
+            done_ids = []
+            for i in np.flatnonzero(open_mask):
+                qid = qp["query_id"].iat[i]
+                rho = int(qp["rho"].iat[i])
+                qcx, qcy = int(qp["qcx"].iat[i]), int(qp["qcy"].iat[i])
+                x, y, k = float(qp["x"].iat[i]), float(qp["y"].iat[i]), int(qp["k"].iat[i])
+                full = qcx - rho <= 0 and qcx + rho >= n - 1 and qcy - rho <= 0 and qcy + rho >= n - 1
+                cnt, kth = stats.get(qid, (0, math.inf))
+                d_out = min(
+                    (x - (qcx - rho) * s) if qcx - rho > 0 else math.inf,
+                    (((qcx + rho + 1) * s) - x) if qcx + rho < n - 1 else math.inf,
+                    (y - (qcy - rho) * s) if qcy - rho > 0 else math.inf,
+                    (((qcy + rho + 1) * s) - y) if qcy + rho < n - 1 else math.inf,
+                )
+                if full or (cnt >= k and kth <= d_out * d_out):
+                    done_ids.append(qid)
+                    open_mask[i] = False
+                else:
+                    qp.loc[qp.index[i], "rho"] = rho * 2
+            if done_ids:
+                results.append(ranked.where(F.col("query_id").isin(done_ids)))
+
+        if not results:
+            return spark.createDataFrame([], KNN_SCHEMA)
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        return out
+    finally:
+        # lazily consumed unions re-read the persisted cover; Spark keeps
+        # the data alive until the plan is executed, so defer unpersist.
+        d.unpersist(blocking=False)

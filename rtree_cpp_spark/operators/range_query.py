@@ -1,0 +1,62 @@
+"""Batched range queries (reference R1/R2, RTreeBulkLoad.cpp:139-210).
+
+The reference answers one query at a time by DFS with MBR pruning.  The
+distributed re-expression answers the WHOLE query batch in one plan:
+
+    queries --cover--> (query_id, cell)   [tiny: broadcast]
+    data    --cover--> (doc_id,  cell)
+    equi-join on cell  -> exact closed-bound predicate
+                       -> reference-point dedup (no distinct shuffle)
+
+One broadcast hash join for the whole batch; the data side is never
+shuffled.  With a cell-partitioned layout, Catalyst prunes untouched
+cell partitions (the distributed analog of MBR pruning, SURVEY.md O2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.functions.geometry import intersects_col
+from rtree_cpp_spark.operators.cover import ref_point_cell_col, with_cover_cells
+
+
+def range_query(data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast_queries: bool = True) -> DataFrame:
+    """data_rects(doc_id, min_x..max_y) x queries(query_id, min_x..max_y)
+    → (query_id, doc_id), closed-interval semantics, each pair once."""
+    q = queries.select(
+        "query_id",
+        F.col("min_x").alias("q_min_x"),
+        F.col("min_y").alias("q_min_y"),
+        F.col("max_x").alias("q_max_x"),
+        F.col("max_y").alias("q_max_y"),
+    )
+    q_cells = with_cover_cells(q, grid, prefix="q_")
+    if broadcast_queries:
+        q_cells = F.broadcast(q_cells)
+    d_cells = with_cover_cells(data_rects, grid)
+    hit = intersects_col(
+        F.col("q_min_x"), F.col("q_min_y"), F.col("q_max_x"), F.col("q_max_y"),
+        F.col("min_x"), F.col("min_y"), F.col("max_x"), F.col("max_y"),
+    )
+    ref_cell = ref_point_cell_col(
+        grid, F.col("q_min_x"), F.col("q_min_y"), F.col("min_x"), F.col("min_y")
+    )
+    return (
+        d_cells.join(q_cells, "cell")
+        .where(hit & (F.col("cell") == ref_cell))
+        .select("query_id", "doc_id")
+    )
+
+
+def range_count(data_rects: DataFrame, queries: DataFrame, grid: Grid) -> DataFrame:
+    """Per-query hit count — the reference's only (commented-out) range
+    output was the count (RTreeBulkLoad.cpp:202-209)."""
+    hits = range_query(data_rects, queries, grid)
+    return (
+        queries.select("query_id")
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hits")), "query_id", "left")
+        .select("query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )

@@ -1,0 +1,112 @@
+"""Distributed spatial (intersection) join — reference J1,
+dual-tree DFS at src/rtree/builders/RTreeBulkLoad.cpp:304-379.
+
+Plan:  both sides cover-exploded to cells → equi-join on ``cell``
+(sort-merge at scale, AQE skew-split as backstop) → exact closed-bound
+predicate → reference-point dedup.  Hot cells ("dense urban tiles",
+north_star) additionally get **explicit salting**: the build side hashes
+doc_id into ``n_salt`` buckets, the probe side fans out over all buckets
+— only for cells whose candidate count exceeds a threshold, discovered
+by a cheap pre-aggregation.
+
+Exactly-once pairs: a pair intersecting in several shared cells is kept
+only in the cell of its reference point — no ``distinct`` shuffle
+(SURVEY.md J1).  Output is directed A→B like the reference's multimap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.functions.geometry import intersects_col
+from rtree_cpp_spark.operators.cover import ref_point_cell_col, with_cover_cells
+
+
+def _a_side(a_rects: DataFrame, grid: Grid) -> DataFrame:
+    return with_cover_cells(
+        a_rects.select(
+            F.col("doc_id").alias("a_doc_id"),
+            F.col("min_x").alias("a_min_x"),
+            F.col("min_y").alias("a_min_y"),
+            F.col("max_x").alias("a_max_x"),
+            F.col("max_y").alias("a_max_y"),
+        ),
+        grid,
+        prefix="a_",
+    )
+
+
+def _b_side(b_rects: DataFrame, grid: Grid) -> DataFrame:
+    return with_cover_cells(
+        b_rects.select(
+            F.col("doc_id").alias("b_doc_id"),
+            F.col("min_x").alias("b_min_x"),
+            F.col("min_y").alias("b_min_y"),
+            F.col("max_x").alias("b_max_x"),
+            F.col("max_y").alias("b_max_y"),
+        ),
+        grid,
+        prefix="b_",
+    )
+
+
+def _refine(joined: DataFrame, grid: Grid) -> DataFrame:
+    hit = intersects_col(
+        F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"),
+        F.col("b_min_x"), F.col("b_min_y"), F.col("b_max_x"), F.col("b_max_y"),
+    )
+    ref_cell = ref_point_cell_col(
+        grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
+    )
+    return joined.where(hit & (F.col("cell") == ref_cell)).select("a_doc_id", "b_doc_id")
+
+
+def spatial_join(a_rects: DataFrame, b_rects: DataFrame, grid: Grid) -> DataFrame:
+    """Unsalted cell equi-join (AQE skew-join is the only skew defense)."""
+    return _refine(_a_side(a_rects, grid).join(_b_side(b_rects, grid), "cell"), grid)
+
+
+def spatial_join_salted(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    hot_threshold: int = 10_000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Cell join with explicit hot-cell salting (north_rule requirement).
+
+    Cells whose A-side candidate count exceeds ``hot_threshold`` are
+    split ``n_salt`` ways: A rows hash into a salt bucket, B rows fan out
+    over all buckets for that cell.  Salting only *re-partitions* the
+    same candidate pairs, so result rows are identical to the unsalted
+    join (asserted by tests/test_join.py on a skewed fixture).
+    """
+    a = _a_side(a_rects, grid)
+    b = _b_side(b_rects, grid)
+    hot = (
+        a.groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select("cell", F.lit(n_salt).alias("_n_salt"))
+    )
+    a = a.join(F.broadcast(hot), "cell", "left").withColumn(
+        "salt",
+        F.when(F.col("_n_salt").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("a_doc_id"), F.col("_n_salt")).cast("int")
+        ),
+    ).drop("_n_salt")
+    b = (
+        b.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("_n_salt").isNull(), F.array(F.lit(0))).otherwise(
+                    F.sequence(F.lit(0), F.col("_n_salt") - 1)
+                )
+            ),
+        )
+        .drop("_n_salt")
+    )
+    return _refine(a.join(b, ["cell", "salt"]), grid)

@@ -1,0 +1,60 @@
+"""Raster↔vector tile assignment (SURVEY.md section 2.7).
+
+The reference's STR build assigns every rect to exactly one leaf
+(RTreeBulkLoad.cpp:42-58); ``Node.ids`` *is* the tile→members list
+(Node.cpp:30-38).  Here:
+
+- **primary tiles**: each doc in exactly one cell — the cell of its rect
+  centroid (the centroid rule reused from kNN queries, Main.cpp:126-129).
+- **cover tiles**: the multi-cell raster overlay — one row per
+  (cell, doc) the rect touches.
+
+Both are pure Column expressions (whole-stage codegen, no shuffle at
+all for primary tiles — it's a projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.functions.geometry import center_cols
+from rtree_cpp_spark.operators.cover import with_cover_cells
+
+
+def primary_tiles(data_rects: DataFrame, grid: Grid) -> DataFrame:
+    """(cell, doc_id): exactly one row per doc — a partition of the table."""
+    cx, cy = center_cols(
+        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+    )
+    return data_rects.select(grid.cell_of_point_col(cx, cy).alias("cell"), "doc_id")
+
+
+def cover_tiles(data_rects: DataFrame, grid: Grid) -> DataFrame:
+    """(cell, doc_id): one row per covered cell (raster↔vector overlay)."""
+    return with_cover_cells(data_rects.select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid).select(
+        "cell", "doc_id"
+    )
+
+
+def tile_stats(data_rects: DataFrame, grid: Grid) -> DataFrame:
+    """Per-cell MBR + occupancy — the distributed analog of node-MBR
+    maintenance (reference Node.cpp:20-38; SURVEY.md B5).  Feeds both
+    pruning stats and the adaptive-resolution heuristic."""
+    return (
+        cover_tiles_with_rect(data_rects, grid)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("min_x").alias("mbr_min_x"),
+            F.min("min_y").alias("mbr_min_y"),
+            F.max("max_x").alias("mbr_max_x"),
+            F.max("max_y").alias("mbr_max_y"),
+        )
+    )
+
+
+def cover_tiles_with_rect(data_rects: DataFrame, grid: Grid) -> DataFrame:
+    return with_cover_cells(data_rects.select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid)

@@ -1,0 +1,104 @@
+"""Per-partition lineage + metrics manifest with resume (north_rule;
+SURVEY.md section 7.6).
+
+One manifest row per (run_id, stage, partition_key): status, rows,
+wall_ms, attempt, finished_at.  A resumable stage:
+
+  1. lists its partition keys,
+  2. anti-joins keys already 'done' in the manifest,
+  3. writes each pending key's output via dynamic partition overwrite
+     (idempotent under retry — a re-run of a half-written key simply
+     overwrites it),
+  4. appends 'done' manifest rows with row counts.
+
+Storage is parquet (append-only); the same interface maps onto an
+Iceberg manifest table (`writeTo(...).append()`) when a catalog exists.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "run_id string, stage string, partition_key long, status string, "
+    "output_rows long, wall_ms long, attempt int, finished_at double"
+)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(manifest_path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def done_keys(spark: SparkSession, manifest_path: str, run_id: str, stage: str) -> list[int]:
+    m = read_manifest(spark, manifest_path)
+    rows = (
+        m.where((F.col("run_id") == run_id) & (F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("partition_key")
+        .distinct()
+        .collect()
+    )
+    return [r["partition_key"] for r in rows]
+
+
+def append_manifest(spark: SparkSession, manifest_path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(manifest_path)
+
+
+def resumable_write(
+    df: DataFrame,
+    out_path: str,
+    key_col: str,
+    manifest_path: str,
+    run_id: str,
+    stage: str,
+    keys_per_batch: int = 64,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Write ``df`` partitioned by ``key_col``, resumably.
+
+    Keys are processed in deterministic sorted batches; each batch is an
+    idempotent dynamic-partition overwrite followed by a manifest append.
+    On a re-run with the same (run_id, stage), completed keys are skipped
+    (anti-join against the manifest).  ``fail_after_batches`` injects a
+    crash for the resume test.
+
+    Returns {written_keys, skipped_keys, output_rows}.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    all_keys = sorted(r[0] for r in df.select(key_col).distinct().collect())
+    done = set(done_keys(spark, manifest_path, run_id, stage))
+    pending = [k for k in all_keys if k not in done]
+    written, out_rows = [], 0
+    batches = [pending[i : i + keys_per_batch] for i in range(0, len(pending), keys_per_batch)]
+    for bi, batch in enumerate(batches):
+        if fail_after_batches is not None and bi >= fail_after_batches:
+            raise RuntimeError(f"injected failure before batch {bi} (resume test)")
+        t0 = time.perf_counter()
+        part = df.where(F.col(key_col).isin(batch))
+        part.write.mode("overwrite").partitionBy(key_col).parquet(out_path)
+        counts = {r[0]: r[1] for r in part.groupBy(key_col).count().collect()}
+        wall = int((time.perf_counter() - t0) * 1000)
+        now = time.time()
+        append_manifest(
+            spark,
+            manifest_path,
+            [
+                (run_id, stage, int(k), "done", int(counts.get(k, 0)), wall, 1, now)
+                for k in batch
+            ],
+        )
+        written.extend(batch)
+        out_rows += sum(counts.values())
+    return {"written_keys": written, "skipped_keys": sorted(done), "output_rows": out_rows}
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]

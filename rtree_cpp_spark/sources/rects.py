@@ -1,0 +1,98 @@
+"""Deterministic rect tables derived from the driver's testdata.
+
+The driver's correctness gate (CORRECTNESS_r{N}.json) compares our Spark
+queries against DuckDB SQL over the SAME parquet tables, so the spatial
+inputs must be derivable in both engines bit-identically.  Every rect is
+a pure integer-arithmetic function of a table key, landing on the 0.25
+lattice in [0, 1024) — exact in float32, float64, and DuckDB doubles.
+
+The SQL snippets below are **dialect-neutral** (run verbatim in Spark SQL
+and DuckDB) and are the single source of truth: the Spark side executes
+them via ``spark.sql`` over temp views; ``oracle_sql`` embeds them as
+CTEs.  No drift possible.
+
+This mirrors the reference's id-by-line-order loading (src/Main.cpp:
+50-78): the table key plays the line number, the derived rect plays the
+parsed ``"x1 y1, x2 y2"`` line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Knuth multiplicative hash — keys here are < ~10^7 so key*K < 2^63.
+_K = 2654435761
+
+
+def _rect_sql(table: str, key: str, prefix: str, seed: int) -> str:
+    """SELECT producing (doc_id, min_x, min_y, max_x, max_y) from a keyed
+    table.  Center on the 0.25 lattice in [0,1024); width/height in
+    {0.25..16} — the FIXTURES.md distribution, SQL-expressible.  Two
+    independent hash streams decorrelate position and size."""
+    h1 = f"(({key} + {seed}) * {_K}) % 2147483648"
+    h2 = f"(({key} + {seed + 7}) * {_K}) % 2147483648"
+    hx = f"({h1}) % 4096"
+    hy = f"CAST(FLOOR(({h1}) / 4096.0) AS BIGINT) % 4096"
+    hw = f"({h2}) % 64"
+    hh = f"CAST(FLOOR(({h2}) / 64.0) AS BIGINT) % 64"
+    return (
+        f"SELECT CONCAT('{prefix}', CAST({key} AS STRING)) AS doc_id, "
+        f"({hx}) * 0.25 AS min_x, "
+        f"({hy}) * 0.25 AS min_y, "
+        f"(({hx}) + ({hw}) + 1) * 0.25 AS max_x, "
+        f"(({hy}) + ({hh}) + 1) * 0.25 AS max_y "
+        f"FROM {table}"
+    )
+
+
+RECTS_A_SQL = _rect_sql("orders", "o_orderkey", "A", 1)
+RECTS_B_SQL = _rect_sql("customer", "c_custkey", "B", 2)
+
+# Range queries from nation (25 rows): mixed sizes incl. huge boxes.
+QUERIES_RANGE_SQL = (
+    "SELECT CONCAT('R', CAST(n_nationkey AS STRING)) AS query_id, "
+    "((n_nationkey * 97) % 64) * 16.0 AS min_x, "
+    "((n_nationkey * 53) % 64) * 16.0 AS min_y, "
+    "((n_nationkey * 97) % 64) * 16.0 + (CASE WHEN n_nationkey % 3 = 0 THEN 0.25 "
+    "WHEN n_nationkey % 3 = 1 THEN 24.0 ELSE 160.0 END) AS max_x, "
+    "((n_nationkey * 53) % 64) * 16.0 + (CASE WHEN n_nationkey % 3 = 0 THEN 0.25 "
+    "WHEN n_nationkey % 3 = 1 THEN 24.0 ELSE 160.0 END) AS max_y "
+    "FROM nation"
+)
+
+# kNN queries from nation: centroid-style lattice points, varying k.
+QUERIES_KNN_SQL = (
+    "SELECT CONCAT('K', CAST(n_nationkey AS STRING)) AS query_id, "
+    "((n_nationkey * 131) % 8192) * 0.125 AS x, "
+    "((n_nationkey * 241) % 8192) * 0.125 AS y, "
+    "(CASE WHEN n_nationkey % 4 = 0 THEN 1 WHEN n_nationkey % 4 = 1 THEN 5 "
+    "WHEN n_nationkey % 4 = 2 THEN 64 ELSE 200 END) AS k "
+    "FROM nation"
+)
+
+_VIEWS = {"orders": "orders", "customer": "customer", "nation": "nation"}
+
+
+def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in _VIEWS:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def rects_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(RECTS_A_SQL)
+
+
+def rects_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(RECTS_B_SQL)
+
+
+def queries_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(QUERIES_RANGE_SQL)
+
+
+def queries_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(QUERIES_KNN_SQL)
