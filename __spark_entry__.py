@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (plus the training-data pipeline ops)
+has a ``queries()`` entry running the ENGINE (rtree_cpp_spark) and an
+``oracle_sql()`` entry: brute-force/naive ANSI SQL DuckDB runs on the
+same parquet tables.  Spatial inputs are derived from the testdata
+tables by dialect-neutral SQL shared verbatim between both engines
+(rtree_cpp_spark/sources/rects.py), so inputs can never drift.
+
+Column names and types are aligned pairwise (the driver hashes values
+under sorted column names).  Floating-point outputs are constructed to
+be bit-identical across engines: lattice arithmetic for geometry,
+array-order left-folds for dot products, single IEEE divisions for
+ratios, DECIMAL sums for event values.
 """
 
 from __future__ import annotations
@@ -12,27 +19,343 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.operators import dedup, events, multimodal, similarity, text_analysis
+from rtree_cpp_spark.operators.knn import knn
+from rtree_cpp_spark.operators.range_query import range_count, range_query
+from rtree_cpp_spark.operators.spatial_join import spatial_join, spatial_join_salted
+from rtree_cpp_spark.operators.tiles import primary_tiles, tile_stats
+from rtree_cpp_spark.operators.tiles import cover_tiles
+from rtree_cpp_spark.sources import rects
+from rtree_cpp_spark.sources.rects import (
+    QUERIES_KNN_SQL,
+    QUERIES_RANGE_SQL,
+    RECTS_A_SQL,
+    RECTS_B_SQL,
+)
+
+GRID = Grid(6)  # 64x64 cells of 16.0 over [0,1024)^2 (gate resolution)
+
+_INTERSECTS = (
+    "({a}.max_x >= {b}.min_x AND {a}.min_x <= {b}.max_x "
+    "AND {a}.max_y >= {b}.min_y AND {a}.min_y <= {b}.max_y)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join A x B + per-pair tile of the intersection
+    reference point — the join+tiling pipeline the metric targets."""
+    sf_dir = "/root/testdata/sf0.001"
+    a = rects.rects_a(spark, sf_dir)
+    b = rects.rects_b(spark, sf_dir)
+    return spatial_join_salted(a, b, GRID, hot_threshold=50_000, n_salt=8)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- spatial core (reference R1/R2, J1, K1, tiles) ---
+        "spatial_range": lambda s, d: range_query(rects.rects_a(s, d), rects.queries_range(s, d), GRID),
+        "spatial_range_count": lambda s, d: range_count(rects.rects_a(s, d), rects.queries_range(s, d), GRID),
+        "spatial_join": lambda s, d: spatial_join(rects.rects_a(s, d), rects.rects_b(s, d), GRID),
+        "spatial_join_salted": lambda s, d: spatial_join_salted(
+            rects.rects_a(s, d), rects.rects_b(s, d), GRID, hot_threshold=2000, n_salt=8
+        ),
+        "spatial_knn": lambda s, d: knn(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
+        "tiles_primary": lambda s, d: primary_tiles(rects.rects_a(s, d), GRID),
+        "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
+        "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
+        # --- dedup family ---
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_jaccard": lambda s, d: dedup.jaccard_pairs(_docs(s, d), threshold=0.5),
+        # --- similarity search ---
+        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d), n_queries=20, k=5),
+        "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
+        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_embeddings(s, d), n_queries=20, k=5, n_planes=4),
+        # --- text analysis ---
+        "text_token_stats": lambda s, d: text_analysis.token_stats(_docs(s, d)),
+        "text_lang_id": lambda s, d: text_analysis.lang_id(_docs(s, d)),
+        "text_quality": lambda s, d: text_analysis.quality_score(_docs(s, d)),
+        "text_fingerprint": lambda s, d: text_analysis.fingerprint(_docs(s, d)),
+        # --- multimodal plumbing ---
+        "multimodal_meta": lambda s, d: multimodal.media_meta(_docs(s, d)),
+        "multimodal_features": lambda s, d: multimodal.extract_features(
+            multimodal.attach_media(_docs(s, d))
+        ).select("doc_id", "kind", "n_bytes", "checksum"),
+        # --- event analytics (streaming twins in rtree_cpp_spark/streaming) ---
+        "events_hourly": lambda s, d: events.hourly_rollup(_events(s, d)),
+        "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
+        # --- general agg health check (TPC-H Q1 shape) ---
+        "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pricing_summary(li: DataFrame) -> DataFrame:
+    dec = "decimal(18,4)"
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast(dec) * (F.lit(1.0).cast(dec) - F.col("l_discount").cast(dec))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_CELL6 = GRID.cell_of_point_sql  # callable (x_sql, y_sql) -> cell sql
+_CX6 = GRID.cx_sql
+
+_COVER_CTE = (
+    "gx AS (SELECT doc_id, min_y, max_y, "
+    f"unnest(generate_series({_CX6('min_x')}, {_CX6('max_x')})) AS cx FROM r), "
+    "gxy AS (SELECT doc_id, cx, "
+    f"unnest(generate_series({_CX6('min_y')}, {_CX6('max_y')})) AS cy FROM gx)"
+)
+
+_COVER_FULL_CTE = (
+    "gx AS (SELECT doc_id, min_x, min_y, max_x, max_y, "
+    f"unnest(generate_series({_CX6('min_x')}, {_CX6('max_x')})) AS cx FROM r), "
+    "gxy AS (SELECT doc_id, min_x, min_y, max_x, max_y, cx, "
+    f"unnest(generate_series({_CX6('min_y')}, {_CX6('max_y')})) AS cy FROM gx)"
+)
+
+_SQDIST = (
+    "(GREATEST(r.min_x - q.x, q.x - r.max_x, 0e0) * GREATEST(r.min_x - q.x, q.x - r.max_x, 0e0) "
+    "+ GREATEST(r.min_y - q.y, q.y - r.max_y, 0e0) * GREATEST(r.min_y - q.y, q.y - r.max_y, 0e0))"
+)
+
+_H64_DUCK = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+_DOT_DUCK = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ab_join = _INTERSECTS.format(a="a", b="b")
+    qa_join = _INTERSECTS.format(a="q", b="a")
+    join_sql = (
+        f"WITH a AS ({RECTS_A_SQL}), b AS ({RECTS_B_SQL}) "
+        f"SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM a JOIN b ON {ab_join}"
+    )
+    knn_sql = (
+        f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}), "
+        f"scored AS (SELECT q.query_id, r.doc_id, q.k, {_SQDIST} AS sq_dist FROM q CROSS JOIN r), "
+        "ranked AS (SELECT query_id, doc_id, sq_dist, k, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq_dist, doc_id) AS rnk FROM scored) "
+        'SELECT query_id, doc_id, sq_dist, CAST(rnk AS INT) AS "rank" FROM ranked WHERE rnk <= k'
+    )
+    minhash_sql = (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 3), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
+        "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)), "
+        "hs AS (SELECT doc_id, seed, "
+        + _H64_DUCK.format(s="CAST(seed AS STRING) || ':' || shingle")
+        + " AS h FROM (SELECT doc_id, shingle, unnest(generate_series(0, 31)) AS seed FROM sh)), "
+        "sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hs GROUP BY doc_id, seed), "
+        "bands AS (SELECT doc_id, CAST(FLOOR(seed / 4.0) AS INT) AS band, "
+        "md5(string_agg(CAST(minhash AS STRING), ':' ORDER BY seed)) AS bucket "
+        "FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS INT)) "
+        "SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+    simhash_sql = (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "th AS (SELECT doc_id, " + _H64_DUCK.format(s="token") + " AS h FROM tok), "
+        "bitted AS (SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS contrib "
+        "FROM (SELECT doc_id, h, unnest(generate_series(0, 15)) AS j FROM th)), "
+        "per_bit AS (SELECT doc_id, j, SUM(contrib) AS s FROM bitted GROUP BY doc_id, j) "
+        "SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) "
+        "AS simhash FROM per_bit GROUP BY doc_id"
+    )
+    jaccard_sql = (
+        "WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a_doc_id, y.doc_id AS b_doc_id, COUNT(*) AS i "
+        "FROM toks x JOIN toks y ON x.token = y.token AND x.doc_id < y.doc_id "
+        "GROUP BY x.doc_id, y.doc_id) "
+        "SELECT a_doc_id, b_doc_id, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = a_doc_id JOIN sizes sb ON sb.doc_id = b_doc_id "
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5e0"
+    )
+    cosine_sql = (
+        "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20), "
+        "c AS (SELECT vec_id AS neighbor_vec_id, embedding AS n_emb FROM embeddings), "
+        "scored AS (SELECT query_vec_id, neighbor_vec_id, "
+        + _DOT_DUCK.format(a="q_emb", b="n_emb")
+        + " / (SQRT(" + _DOT_DUCK.format(a="q_emb", b="q_emb") + ") * SQRT("
+        + _DOT_DUCK.format(a="n_emb", b="n_emb") + ")) AS cos_sim "
+        "FROM c JOIN q ON neighbor_vec_id <> query_vec_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_vec_id "
+        "ORDER BY cos_sim DESC, neighbor_vec_id) AS rnk FROM scored) "
+        'SELECT query_vec_id, neighbor_vec_id, cos_sim, CAST(rnk AS INT) AS "rank" '
+        "FROM ranked WHERE rnk <= 5"
+    )
+    # sign-LSH buckets: w[p][i] = +1 iff h64(p ':' i) odd; fold v*w in array order
+    lsh_w = "CASE WHEN " + _H64_DUCK.format(
+        s="CAST(p AS STRING) || ':' || CAST(i - 1 AS STRING)"
+    ) + " % 2 = 1 THEN 1e0 ELSE -1e0 END"
+    lsh_buckets_sql = (
+        "WITH planes AS (SELECT vec_id, embedding, unnest(generate_series(0, 7)) AS p FROM embeddings), "
+        "dots AS (SELECT vec_id, p, list_reduce(list_transform("
+        "list_zip(embedding, generate_series(1, len(embedding))), "
+        "x -> CAST(x[1] AS DOUBLE) * (CASE WHEN "
+        + _H64_DUCK.format(s="CAST(p AS STRING) || ':' || CAST(x[2] - 1 AS STRING)")
+        + " % 2 = 1 THEN 1e0 ELSE -1e0 END)), (acc, v) -> acc + v) AS s FROM planes) "
+        "SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) "
+        "AS bucket FROM dots GROUP BY vec_id"
+    )
+    del lsh_w
+    lsh_topk_sql = (
+        "WITH b AS (" + lsh_buckets_sql.replace("generate_series(0, 7)", "generate_series(0, 3)") + "), "
+        "q AS (SELECT e.vec_id AS query_vec_id, e.embedding AS q_emb, b.bucket "
+        "FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 20), "
+        "c AS (SELECT e.vec_id AS neighbor_vec_id, e.embedding AS n_emb, b.bucket "
+        "FROM embeddings e JOIN b ON b.vec_id = e.vec_id), "
+        "scored AS (SELECT query_vec_id, neighbor_vec_id, "
+        + _DOT_DUCK.format(a="q_emb", b="n_emb")
+        + " / (SQRT(" + _DOT_DUCK.format(a="q_emb", b="q_emb") + ") * SQRT("
+        + _DOT_DUCK.format(a="n_emb", b="n_emb") + ")) AS cos_sim "
+        "FROM c JOIN q ON c.bucket = q.bucket AND neighbor_vec_id <> query_vec_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_vec_id "
+        "ORDER BY cos_sim DESC, neighbor_vec_id) AS rnk FROM scored) "
+        'SELECT query_vec_id, neighbor_vec_id, cos_sim, CAST(rnk AS INT) AS "rank" '
+        "FROM ranked WHERE rnk <= 5"
+    )
+    stop_in = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)
+    lang_sql = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+        "SELECT doc_id, ROUND(CAST(len(list_filter(toks, x -> x IN (" + stop_in + "))) AS DOUBLE) "
+        "/ CAST(len(toks) AS DOUBLE), 6) AS stop_ratio, "
+        "CASE WHEN ROUND(CAST(len(list_filter(toks, x -> x IN (" + stop_in + "))) AS DOUBLE) "
+        "/ CAST(len(toks) AS DOUBLE), 6) >= 0.05e0 THEN 'en' ELSE 'unk' END AS lang_pred FROM t"
+    )
+    return {
+        "spatial_range": (
+            f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
+            f"SELECT q.query_id, a.doc_id FROM q JOIN a ON {qa_join}"
+        ),
+        "spatial_range_count": (
+            f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}), "
+            f"hits AS (SELECT q.query_id, COUNT(*) AS c FROM q JOIN a ON {qa_join} GROUP BY q.query_id) "
+            "SELECT q.query_id, COALESCE(hits.c, 0) AS n_hits FROM q LEFT JOIN hits USING (query_id)"
+        ),
+        "spatial_join": join_sql,
+        "spatial_join_salted": join_sql,
+        "spatial_knn": knn_sql,
+        "tiles_primary": (
+            f"WITH r AS ({RECTS_A_SQL}) "
+            f"SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell, doc_id FROM r"
+        ),
+        "tiles_cover": (
+            f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE} "
+            f"SELECT cx * {GRID.n} + cy AS cell, doc_id FROM gxy"
+        ),
+        "tile_stats": (
+            f"WITH r AS ({RECTS_A_SQL}), {_COVER_FULL_CTE} "
+            f"SELECT cx * {GRID.n} + cy AS cell, COUNT(*) AS n_docs, "
+            "MIN(min_x) AS mbr_min_x, MIN(min_y) AS mbr_min_y, "
+            "MAX(max_x) AS mbr_max_x, MAX(max_y) AS mbr_max_y "
+            f"FROM gxy GROUP BY cx * {GRID.n} + cy"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "dedup_minhash_lsh": minhash_sql,
+        "dedup_simhash": simhash_sql,
+        "dedup_jaccard": jaccard_sql,
+        "ann_cosine_topk": cosine_sql,
+        "ann_lsh_buckets": lsh_buckets_sql,
+        "ann_lsh_topk": lsh_topk_sql,
+        "text_token_stats": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens, "
+            "CAST(length(text) AS INT) AS n_chars FROM documents"
+        ),
+        "text_lang_id": lang_sql,
+        "text_quality": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+            "SELECT doc_id, ROUND(0.5e0 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0e0, 1.0e0) "
+            "+ 0.5e0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)), 6) "
+            "AS quality FROM t"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(lower(text)) AS fp_hash, "
+            + _H64_DUCK.format(s="lower(text)")
+            + " AS fp64 FROM documents"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "events_sessionize": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0e0 THEN 1 ELSE 0 END AS new_session "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sessed AS (SELECT user_id, ts, CAST(SUM(new_session) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM flagged) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
+            "FROM sessed GROUP BY user_id, session_id"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+            "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) "
+            "- CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        # multimodal_features intentionally has no oracle: the checksum is a
+        # mapInPandas kernel (rows-only check; exactness covered in pytest)
+    }

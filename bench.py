@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Extras include join+tiling docs/sec throughput (the BASELINE.json
+metric) and the Spark config that produced the numbers.
+Scaling evidence (local[8] vs local[32]) lives in scripts/scaling_bench.py
+→ BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rtree_cpp_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    headline = [
+        "spatial_join_salted",
+        "spatial_range",
+        "spatial_knn",
+        "tiles_cover",
+        "tile_stats",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "text_quality",
+        "events_hourly",
+        "events_sessionize",
+        "agg_pricing_summary",
+    ]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        n = qmap[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # BASELINE.json metric: join + tile-assignment throughput, docs/sec
+    # (output-side rows of the join+tiling job over its end-to-end wall)
+    join_tiles_wall = timings["spatial_join_salted"] + timings["tiles_cover"]
+    join_tiles_rows = rows["spatial_join_salted"] + rows["tiles_cover"]
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "join_tiling_docs_per_sec": round(join_tiles_rows / max(join_tiles_wall, 1e-9), 1),
+        "cpus": cpus,
+        "spark_version": spark.version,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

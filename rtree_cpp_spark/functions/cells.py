@@ -164,9 +164,16 @@ class Grid:
     def cell_of_point_sql(self, x: str, y: str) -> str:
         """Dialect-neutral SQL for cell_of_point — runs in Spark AND DuckDB."""
         n, s = self.n, self.cell_size
-        cx = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({x}) / {s!r}) AS BIGINT)))"
-        cy = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({y}) / {s!r}) AS BIGINT)))"
+        cx = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({x}) / CAST({s!r} AS DOUBLE)) AS BIGINT)))"
+        cy = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({y}) / CAST({s!r} AS DOUBLE)) AS BIGINT)))"
         return f"({cx} * {n} + {cy})"
+
+    def cx_sql(self, x: str) -> str:
+        """Dialect-neutral SQL for one clamped grid coordinate."""
+        return (
+            f"GREATEST(0, LEAST({self.n - 1}, "
+            f"CAST(FLOOR(({x}) / CAST({self.cell_size!r} AS DOUBLE)) AS BIGINT)))"
+        )
 
 
 def _interleave_bits(v: np.ndarray, nbits: int) -> np.ndarray:

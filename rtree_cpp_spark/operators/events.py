@@ -1,0 +1,54 @@
+"""Event-stream analytics (batch form; streaming twins live in
+rtree_cpp_spark/streaming/).  Sums go through DECIMAL so aggregation
+order can't perturb the doubles the DuckDB oracle compares against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800.0
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """(hour, event_type, n_events, sum_value): tumbling 1h windows."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_s: float = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_s`` seconds.
+
+    Output: (user_id, session_id, n_events, start_ts, end_ts) with
+    session_id = 1-based index per user.  Ordering ties broken by
+    event_id for determinism.
+    """
+    # parquet timestamps load as TIMESTAMP_NTZ; epoch seconds (with micro
+    # fraction) via unix_micros — matches DuckDB's epoch(ts) double exactly
+    # (micros < 2^53 so the /1e6 division is exact-then-rounded identically)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double") / F.lit(1000000.0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w)).isNull() | ((epoch - F.lag(epoch).over(w)) > gap_s), 1
+        ).otherwise(0),
+    )
+    sessed = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessed.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )

@@ -1,0 +1,61 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM, whole-stage codegen).  Every numeric
+output is either integer arithmetic or a single-rounding IEEE754 double
+of integers — bit-identical across Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny function-word list for the ratio heuristic (the synthetic corpus
+# shares one vocabulary across lang labels, so this is an operator
+# contract — deterministic scores — not a claim of accuracy)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars)"""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """(doc_id, stop_ratio, lang_pred): stopword-ratio heuristic."""
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ratio = F.round(n_stop.cast("double") / F.size(toks).cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, quality): 0..1 blend of length saturation and lexical
+    diversity — 0.5*min(n_tokens/100, 1) + 0.5*(distinct/total)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    q = 0.5 * F.least(n / 100.0, F.lit(1.0)) + 0.5 * (nd / n)
+    return docs.select("doc_id", F.round(q, 6).alias("quality"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_hash, fp64): md5 content fingerprint + 60-bit integer
+    form (for bucketing/sorting without strings)."""
+    h = F.md5(F.encode(F.lower(F.col("text")), "utf-8"))
+    return docs.select(
+        "doc_id",
+        h.alias("fp_hash"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp64"),
+    )

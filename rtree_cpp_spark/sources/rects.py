@@ -37,10 +37,10 @@ def _rect_sql(table: str, key: str, prefix: str, seed: int) -> str:
     hh = f"CAST(FLOOR(({h2}) / 64.0) AS BIGINT) % 64"
     return (
         f"SELECT CONCAT('{prefix}', CAST({key} AS STRING)) AS doc_id, "
-        f"({hx}) * 0.25 AS min_x, "
-        f"({hy}) * 0.25 AS min_y, "
-        f"(({hx}) + ({hw}) + 1) * 0.25 AS max_x, "
-        f"(({hy}) + ({hh}) + 1) * 0.25 AS max_y "
+        f"({hx}) * 0.25e0 AS min_x, "
+        f"({hy}) * 0.25e0 AS min_y, "
+        f"(({hx}) + ({hw}) + 1) * 0.25e0 AS max_x, "
+        f"(({hy}) + ({hh}) + 1) * 0.25e0 AS max_y "
         f"FROM {table}"
     )
 
@@ -51,20 +51,20 @@ RECTS_B_SQL = _rect_sql("customer", "c_custkey", "B", 2)
 # Range queries from nation (25 rows): mixed sizes incl. huge boxes.
 QUERIES_RANGE_SQL = (
     "SELECT CONCAT('R', CAST(n_nationkey AS STRING)) AS query_id, "
-    "((n_nationkey * 97) % 64) * 16.0 AS min_x, "
-    "((n_nationkey * 53) % 64) * 16.0 AS min_y, "
-    "((n_nationkey * 97) % 64) * 16.0 + (CASE WHEN n_nationkey % 3 = 0 THEN 0.25 "
-    "WHEN n_nationkey % 3 = 1 THEN 24.0 ELSE 160.0 END) AS max_x, "
-    "((n_nationkey * 53) % 64) * 16.0 + (CASE WHEN n_nationkey % 3 = 0 THEN 0.25 "
-    "WHEN n_nationkey % 3 = 1 THEN 24.0 ELSE 160.0 END) AS max_y "
+    "((n_nationkey * 97) % 64) * 16.0e0 AS min_x, "
+    "((n_nationkey * 53) % 64) * 16.0e0 AS min_y, "
+    "((n_nationkey * 97) % 64) * 16.0e0 + (CASE WHEN n_nationkey % 3 = 0 THEN 0.25e0 "
+    "WHEN n_nationkey % 3 = 1 THEN 24.0e0 ELSE 160.0e0 END) AS max_x, "
+    "((n_nationkey * 53) % 64) * 16.0e0 + (CASE WHEN n_nationkey % 3 = 0 THEN 0.25e0 "
+    "WHEN n_nationkey % 3 = 1 THEN 24.0e0 ELSE 160.0e0 END) AS max_y "
     "FROM nation"
 )
 
 # kNN queries from nation: centroid-style lattice points, varying k.
 QUERIES_KNN_SQL = (
     "SELECT CONCAT('K', CAST(n_nationkey AS STRING)) AS query_id, "
-    "((n_nationkey * 131) % 8192) * 0.125 AS x, "
-    "((n_nationkey * 241) % 8192) * 0.125 AS y, "
+    "((n_nationkey * 131) % 8192) * 0.125e0 AS x, "
+    "((n_nationkey * 241) % 8192) * 0.125e0 AS y, "
     "(CASE WHEN n_nationkey % 4 = 0 THEN 1 WHEN n_nationkey % 4 = 1 THEN 5 "
     "WHEN n_nationkey % 4 = 2 THEN 64 ELSE 200 END) AS k "
     "FROM nation"

@@ -1,0 +1,101 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.operators.events import hourly_rollup
+from rtree_cpp_spark.operators.multimodal import attach_media, extract_features
+from rtree_cpp_spark.operators.tiles import primary_tiles
+from rtree_cpp_spark.plans.layout import choose_grid, write_layout
+from rtree_cpp_spark.sources import synth
+from rtree_cpp_spark.sources.extract import rects_only
+from rtree_cpp_spark.streaming.stream_ops import run_stream_events_once, run_stream_tiles_once
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tiles_matches_batch(spark, docs_a_df, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "tiles_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs_a_df.write.parquet(docs_dir)
+    grid = Grid(6)
+    run_stream_tiles_once(spark, docs_dir, out, ckpt, grid)
+    got = spark.read.parquet(out).toPandas().sort_values(["cell", "doc_id"]).reset_index(drop=True)
+    exp = (
+        primary_tiles(rects_only(docs_a_df), grid)
+        .toPandas()
+        .sort_values(["cell", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly-once: a second availableNow drain adds nothing
+    run_stream_tiles_once(spark, docs_dir, out, ckpt, grid)
+    assert spark.read.parquet(out).count() == len(exp)
+
+
+def test_stream_events_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+    run_stream_events_once(spark, src, out, ckpt)
+    got = spark.read.parquet(out).toPandas().sort_values(["hour", "event_type"]).reset_index(drop=True)
+    exp = hourly_rollup(events).toPandas().sort_values(["hour", "event_type"]).reset_index(drop=True)
+    # append mode only emits windows the watermark has passed: windows
+    # ending within 2h (watermark) + 1h (window) of max event time are
+    # withheld at end-of-stream — exclude them from the batch expectation
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - pd.Timedelta(hours=3)
+    exp_closed = exp[exp["hour"] <= horizon].reset_index(drop=True)
+    got_closed = got[got["hour"] <= horizon].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_closed[exp.columns], exp_closed)
+    # and every emitted row agrees with batch (no spurious rows)
+    merged = got.merge(exp, on=["hour", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_choose_grid_density_heuristic(spark):
+    # clustered synthetic: finer levels drop below 64 median occupancy
+    docs = spark.createDataFrame(synth.synth_docs_pdf("A", 2000, seed=42), schema=synth.DOC_SCHEMA)
+    rects = rects_only(docs)
+    g = choose_grid(rects, levels=[1, 2, 3, 4, 5, 6])
+    assert 1 <= g.level <= 6
+    # occupancy at the chosen level is >= 64 or it's the coarsest candidate
+    from rtree_cpp_spark.plans.layout import median_occupancy_by_level
+
+    occ = median_occupancy_by_level(rects, [g.level])
+    assert occ[g.level] >= 64.0 or g.level == 1
+
+
+def test_write_layout_roundtrip(spark, rects_a_pdf, tmp_path):
+    rects = spark.createDataFrame(rects_a_pdf)
+    path = str(tmp_path / "layout")
+    write_layout(rects, path, Grid(6), num_partitions=4)
+    back = spark.read.parquet(path)
+    assert back.count() == len(rects_a_pdf)
+    assert {"cell", "coarse_cell", "doc_id"} <= set(back.columns)
+    # coarse_cell is the level-3 parent of cell
+    bad = back.where(
+        (F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), 6), 3) * 8
+         + F.shiftrightunsigned(F.col("cell").bitwiseAND(F.lit(63)), 3)) != F.col("coarse_cell")
+    ).count()
+    assert bad == 0
+
+
+def test_multimodal_feature_kernel(spark, docs_a_pdf):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "text": ["abc", "", "xyzw", "hello world", "q"]})
+    )
+    feats = extract_features(attach_media(docs)).toPandas().sort_values("doc_id")
+    # checksum = sum of utf-8 bytes mod 2^31, n_bytes = byte length
+    for _, r in feats.iterrows():
+        raw = ["abc", "", "xyzw", "hello world", "q"][int(r["doc_id"])].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["checksum"] == sum(raw) % (1 << 31)
+        assert len(r["feature"]) == 8
+        if len(raw):
+            exp0 = np.array_split(np.frombuffer(raw, dtype=np.uint8).astype(np.float32), 8)[0].mean()
+            assert abs(r["feature"][0] - exp0) < 1e-6
