@@ -185,18 +185,32 @@ def oracle_sql() -> dict[str, str]:
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq_dist, doc_id) AS rnk FROM scored) "
         'SELECT query_id, doc_id, sq_dist, CAST(rnk AS INT) AS "rank" FROM ranked WHERE rnk <= k'
     )
+    # MinHash: one md5 per shingle, 32 universal hashes (A*h+B)%P — the
+    # exact arithmetic/constants of rtree_cpp_spark.operators.dedup.
+    mh_p = dedup.MINHASH_P
+    mh_mins = ", ".join(
+        f"MIN(({dedup.MINHASH_A[i]} * hm + {dedup.MINHASH_B[i]}) % {mh_p}) AS m{i}"
+        for i in range(dedup.N_HASHES)
+    )
+    mh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ':' || ".join(
+            f"CAST(m{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dedup.ROWS_PER_BAND)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
     minhash_sql = (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents "
         "WHERE len(string_split(text, ' ')) >= 3), "
         "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
         "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)), "
-        "hs AS (SELECT doc_id, seed, "
-        + _H64_DUCK.format(s="CAST(seed AS STRING) || ':' || shingle")
-        + " AS h FROM (SELECT doc_id, shingle, unnest(generate_series(0, 31)) AS seed FROM sh)), "
-        "sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hs GROUP BY doc_id, seed), "
-        "bands AS (SELECT doc_id, CAST(FLOOR(seed / 4.0) AS INT) AS band, "
-        "md5(string_agg(CAST(minhash AS STRING), ':' ORDER BY seed)) AS bucket "
-        "FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS INT)) "
+        "h AS (SELECT doc_id, "
+        + _H64_DUCK.format(s="shingle")
+        + f" % {mh_p} AS hm FROM sh), "
+        f"sig AS (SELECT doc_id, {mh_mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({mh_bands}) "
         "SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
     )

@@ -21,12 +21,28 @@ for the MinHash path, not the 100 TB path.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = 4
+
+# Universal-hash family for MinHash: each shingle is md5-hashed ONCE
+# (h0), then the i-th hash is (A[i] * (h0 % P) + B[i]) % P — pure int64
+# arithmetic, exact in any engine (operands < 2^62).  A/B are themselves
+# md5-derived so the whole scheme is seedless and SQL-reproducible.
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _ab_constant(tag: str, i: int) -> int:
+    return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:15], 16)
+
+
+MINHASH_A = [(_ab_constant("a", i) % (MINHASH_P - 1)) + 1 for i in range(N_HASHES)]
+MINHASH_B = [_ab_constant("b", i) % MINHASH_P for i in range(N_HASHES)]
 
 
 def _h64(s: Column) -> Column:
@@ -58,48 +74,73 @@ def _shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, seed, minhash): the MinHash signature matrix.
-
-    minhash(d, i) = min over shingles s of h64(i || ':' || s).
-    """
+def _minhash_wide(docs: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, m0..m{n-1}): wide MinHash signature — ONE md5 per
+    distinct (doc, shingle), then n cheap int64 universal hashes folded
+    by n parallel MIN aggregates in a single groupBy (map-side partial
+    aggregation; no row explosion, no per-seed shuffle)."""
     toks = _tokens(F.col("text"))
     shingled = (
         docs.where(F.size(toks) >= 3)
         .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
         .distinct()
     )
-    seeded = shingled.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
-    h = _h64(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-    return seeded.select("doc_id", "seed", h.alias("h")).groupBy("doc_id", "seed").agg(
-        F.min("h").alias("minhash")
+    hm = (_h64(F.col("shingle")) % MINHASH_P).alias("hm")
+    with_h = shingled.select("doc_id", hm)
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("hm") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return with_h.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, seed, minhash): tall view of the MinHash signature
+    matrix.  minhash(d, i) = min over shingles s of
+    (A[i] * (h64(s) % P) + B[i]) % P."""
+    wide = _minhash_wide(docs, n_hashes)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash"))
+                for i in range(n_hashes)
+            ]
+        )
     )
+    return wide.select("doc_id", stacked.alias("sm")).select("doc_id", "sm.seed", "sm.minhash")
 
 
 def lsh_candidate_pairs(
     docs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> DataFrame:
     """(a_doc_id, b_doc_id): distinct candidate near-dup pairs — docs
-    agreeing on all minhashes of at least one band.  a < b, directed."""
-    sig = minhash_signatures(docs, n_bands * rows_per_band)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    agreeing on all minhashes of at least one band.  a < b, directed.
+
+    The band-bucket join shuffles on (band, bucket); at 100 TB the
+    signature build is one scan + one groupBy(doc_id), and hot buckets
+    (boilerplate-heavy corpora) are split by AQE skew-join."""
+    sig = _minhash_wide(docs, n_bands * rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.encode(
                     F.concat_ws(
                         ":",
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                            lambda x: x["minhash"].cast("string"),
-                        ),
+                        *[
+                            F.col(f"m{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     ),
                     "utf-8",
                 )
-            ).alias("bucket")
+            ).alias("bucket"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.select(F.col("doc_id").alias("a_doc_id"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("b_doc_id"), "band", "bucket")
     return (

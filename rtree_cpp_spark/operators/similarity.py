@@ -2,22 +2,31 @@
 
 - ``cosine_topk``: brute-force exact top-k cosine neighbors — the
   correctness baseline.  Dot products are per-row **left folds over the
-  array** (``zip_with`` + ``aggregate``), so the floating-point sum
-  order is the array order — bit-identical across engines and across
-  partitionings (no shuffle-order nondeterminism), and reproducible by
-  the DuckDB oracle with ``list_zip``/``list_reduce``.
+  array** evaluated as vectorized Arrow/pandas kernels (numpy float64
+  accumulation in array order), so the floating-point sum order is the
+  array order — bit-identical across engines and across partitionings,
+  and reproducible by the DuckDB oracle with ``list_zip``/``list_reduce``.
 - ``lsh_buckets``: sign-LSH (random hyperplanes with ±1 components
   derived from md5 bits — reproducible in SQL) — the scale path.
 - ``lsh_topk``: bucketed ANN — exact ranking within the query's bucket,
   replacing the all-pairs scan with a bucket equi-join.
 
-No UDFs anywhere; everything stays JVM-side.  The plan shape at scale:
-the query set broadcasts (small), the corpus is scanned once, each row
-does dim multiply-adds inside codegen — no shuffle until top-k.
+Plan shape at scale: the query set broadcasts (small), the corpus is
+scanned once; norms are computed once per vector BEFORE the join (never
+per pair), and the pairwise dot runs as one Arrow-batched kernel — no
+shuffle until the per-query top-k window.
+
+Reference parity note: the reference engine (serafm/rtree_cpp) has no
+similarity operators; these are the training-data-pipeline extensions
+required by the task brief.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,7 +36,12 @@ def _h64(s: Column) -> Column:
 
 
 def dot_col(a: Column, b: Column) -> Column:
-    """Left-fold dot product of two array<float> columns, in double."""
+    """Left-fold dot product of two array<float> columns, in double.
+
+    JVM higher-order-function form (interpreted, no codegen) — kept for
+    small inputs and as the executable spec of the fold order; the hot
+    paths below use the Arrow kernel twin ``_fold_dot_udf``.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,28 +53,49 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+def _fold_dot_udf():
+    """Arrow-batched left-fold dot product: for each row,
+    acc_{j+1} = acc_j + a_j * b_j in float64 — the exact same IEEE754
+    operation sequence as ``dot_col`` and the DuckDB ``list_reduce``
+    oracle, but vectorized ACROSS rows with numpy."""
+
+    @F.pandas_udf("double")
+    def fold_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    return fold_dot
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors of the first ``n_queries`` vectors.
 
     Output: (query_vec_id, neighbor_vec_id, cos_sim double, rank int),
     rank by (cos_sim desc, neighbor_vec_id), self excluded.
+
+    Norms are computed once per vector on each side BEFORE the join
+    (N + Q folds, not N*Q), then each candidate pair costs exactly one
+    fold-dot inside one Arrow batch kernel.
     """
+    fold_dot = _fold_dot_udf()
     q = F.broadcast(
-        embeddings.where(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("q_emb")
-        )
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_norm", F.sqrt(fold_dot(F.col("q_emb"), F.col("q_emb"))))
     )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_vec_id"),
         F.col("embedding").alias("n_emb"),
-    )
-    scored = (
-        c.join(q, F.col("neighbor_vec_id") != F.col("query_vec_id"))
-        .withColumn(
-            "cos_sim",
-            dot_col(F.col("q_emb"), F.col("n_emb"))
-            / (norm_col(F.col("q_emb")) * norm_col(F.col("n_emb"))),
-        )
+    ).withColumn("n_norm", F.sqrt(fold_dot(F.col("n_emb"), F.col("n_emb"))))
+    scored = c.join(q, F.col("neighbor_vec_id") != F.col("query_vec_id")).withColumn(
+        "cos_sim",
+        fold_dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
     )
     w = Window.partitionBy("query_vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_vec_id"))
     return (
@@ -70,61 +105,65 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataF
     )
 
 
-def plane_weights(n_planes: int) -> Column:
-    """array<array<double>> of ±1 hyperplane components, w[p][i] from
-    md5(p ':' i) — deterministic and SQL-reproducible.  Built per-row
-    from the row's own dimension so it adapts to any embedding width."""
-    dim_idx = F.sequence(F.lit(0), F.size(F.col("embedding")) - 1)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.transform(
-            dim_idx,
-            lambda i: F.when(
-                _h64(F.concat_ws(":", p.cast("string"), i.cast("string"))) % 2 == 1, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        ),
-    )
+def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
+    """±1 hyperplane components w[p][i] from md5(p ':' i) parity —
+    deterministic, identical to the DuckDB oracle's CASE over
+    ``('0x' || substr(md5(p ':' i), 1, 15)) % 2``."""
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            w[p, i] = 1.0 if h % 2 == 1 else -1.0
+    return w
 
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """(vec_id, bucket): sign-LSH bucket id in [0, 2^n_planes)."""
-    with_w = embeddings.withColumn("w", plane_weights(n_planes))
-    sgn = F.transform(
-        F.col("w"),
-        lambda wp: F.when(dot_col(F.col("embedding"), wp) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    bucket = F.aggregate(
-        F.zip_with(
-            sgn,
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            # 2^p via double pow — exact for p < 53, and n_planes is tiny
-            lambda s, p: s.cast("long") * F.pow(F.lit(2.0), p.cast("double")).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return with_w.select("vec_id", bucket.alias("bucket"))
+    """(vec_id, bucket): sign-LSH bucket id in [0, 2^n_planes).
+
+    The plane matrix depends only on (plane, dim-index), so it is built
+    ONCE per executor batch (driver-style hashlib, not per-row SQL md5)
+    and the per-plane signed sums run as left folds over the array
+    dimension — bit-identical to the SQL oracle's fold."""
+
+    @F.pandas_udf("long")
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        n, dim = E.shape
+        w = _plane_matrix(n_planes, dim)
+        bucket = np.zeros(n, dtype=np.int64)
+        for p in range(n_planes):
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + E[:, i] * w[p, i]
+            bucket |= (acc >= 0).astype(np.int64) << p
+        return pd.Series(bucket)
+
+    return embeddings.select("vec_id", bucket_udf(F.col("embedding")).alias("bucket"))
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_planes: int = 4) -> DataFrame:
     """Bucketed ANN: exact cosine top-k among same-bucket candidates —
     the 100 TB path (recall < 1.0 by design; the bucket equi-join
     replaces the all-pairs scan)."""
+    fold_dot = _fold_dot_udf()
     b = lsh_buckets(embeddings, n_planes)
     emb = embeddings.join(b, "vec_id")
     q = F.broadcast(
-        emb.where(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("q_emb"), "bucket"
-        )
+        emb.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("q_emb"), "bucket")
+        .withColumn("q_norm", F.sqrt(fold_dot(F.col("q_emb"), F.col("q_emb"))))
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_vec_id"), F.col("embedding").alias("n_emb"), "bucket")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_vec_id"), F.col("embedding").alias("n_emb"), "bucket"
+    ).withColumn("n_norm", F.sqrt(fold_dot(F.col("n_emb"), F.col("n_emb"))))
     scored = (
         c.join(q, "bucket")
         .where(F.col("neighbor_vec_id") != F.col("query_vec_id"))
         .withColumn(
             "cos_sim",
-            dot_col(F.col("q_emb"), F.col("n_emb"))
-            / (norm_col(F.col("q_emb")) * norm_col(F.col("n_emb"))),
+            fold_dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
         )
     )
     w = Window.partitionBy("query_vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_vec_id"))
