@@ -52,7 +52,7 @@ def _b_side(b_rects: DataFrame, grid: Grid) -> DataFrame:
     )
 
 
-def _refine(joined: DataFrame, grid: Grid) -> DataFrame:
+def _refine(joined: DataFrame, grid: Grid, keep_cell: bool = False) -> DataFrame:
     hit = intersects_col(
         F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"),
         F.col("b_min_x"), F.col("b_min_y"), F.col("b_max_x"), F.col("b_max_y"),
@@ -60,12 +60,20 @@ def _refine(joined: DataFrame, grid: Grid) -> DataFrame:
     ref_cell = ref_point_cell_col(
         grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
     )
-    return joined.where(hit & (F.col("cell") == ref_cell)).select("a_doc_id", "b_doc_id")
+    out_cols = ["a_doc_id", "b_doc_id"] + (["cell"] if keep_cell else [])
+    return joined.where(hit & (F.col("cell") == ref_cell)).select(*out_cols)
 
 
-def spatial_join(a_rects: DataFrame, b_rects: DataFrame, grid: Grid) -> DataFrame:
-    """Unsalted cell equi-join (AQE skew-join is the only skew defense)."""
-    return _refine(_a_side(a_rects, grid).join(_b_side(b_rects, grid), "cell"), grid)
+def spatial_join(
+    a_rects: DataFrame, b_rects: DataFrame, grid: Grid, keep_cell: bool = False
+) -> DataFrame:
+    """Unsalted cell equi-join (AQE skew-join is the only skew defense).
+
+    ``keep_cell=True`` keeps the reference-point cell on each pair —
+    the per-cell lineage key jobs partition their output by."""
+    return _refine(
+        _a_side(a_rects, grid).join(_b_side(b_rects, grid), "cell"), grid, keep_cell
+    )
 
 
 def spatial_join_salted(
@@ -74,6 +82,7 @@ def spatial_join_salted(
     grid: Grid,
     hot_threshold: int = 10_000,
     n_salt: int = 16,
+    keep_cell: bool = False,
 ) -> DataFrame:
     """Cell join with explicit hot-cell salting (north_rule requirement).
 
@@ -109,4 +118,4 @@ def spatial_join_salted(
         )
         .drop("_n_salt")
     )
-    return _refine(a.join(b, ["cell", "salt"]), grid)
+    return _refine(a.join(b, ["cell", "salt"]), grid, keep_cell)
