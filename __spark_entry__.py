@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
 from rtree_cpp_spark.operators import dedup, events, multimodal, similarity, text_analysis
-from rtree_cpp_spark.operators.knn import knn
+from rtree_cpp_spark.operators.knn import knn, knn_kernel
+from rtree_cpp_spark.operators.pip_join import pip_join
 from rtree_cpp_spark.operators.range_query import range_count, range_query
 from rtree_cpp_spark.operators.spatial_join import spatial_join, spatial_join_salted
 from rtree_cpp_spark.operators.tiles import primary_tiles, tile_stats
 from rtree_cpp_spark.operators.tiles import cover_tiles
+from rtree_cpp_spark.plans.layout import occupancy_stats
 from rtree_cpp_spark.sources import rects
 from rtree_cpp_spark.sources.rects import (
     QUERIES_KNN_SQL,
@@ -89,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rects.rects_a(s, d), rects.rects_b(s, d), GRID, hot_threshold=2000, n_salt=8
         ),
         "spatial_knn": lambda s, d: knn(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
+        "spatial_knn_kernel": lambda s, d: knn_kernel(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
+        "spatial_pip": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "closed"),
+        "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
+        "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
         "tiles_primary": lambda s, d: primary_tiles(rects.rects_a(s, d), GRID),
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
@@ -117,6 +123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
     }
+
+
+def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rects.queries_knn(spark, sf_dir).select(
+        F.col("query_id").alias("point_id"), "x", "y"
+    )
 
 
 def _pricing_summary(li: DataFrame) -> DataFrame:
@@ -298,6 +310,24 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": join_sql,
         "spatial_join_salted": join_sql,
         "spatial_knn": knn_sql,
+        "spatial_knn_kernel": knn_sql,
+        "spatial_pip": (
+            f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
+            "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
+            "ON q.x >= r.min_x AND q.x <= r.max_x AND q.y >= r.min_y AND q.y <= r.max_y"
+        ),
+        "spatial_pip_strict": (
+            f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
+            "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
+            "ON q.x > r.min_x AND q.x < r.max_x AND q.y > r.min_y AND q.y < r.max_y"
+        ),
+        "layout_occupancy": " UNION ALL ".join(
+            f"SELECT {lvl} AS level, COUNT(*) AS n_cells, MAX(n) AS max_occ, "
+            "quantile_cont(n, 0.5e0) AS median_occ FROM ("
+            f"SELECT {Grid(lvl).cell_of_point_sql('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell, "
+            f"COUNT(*) AS n FROM ({RECTS_A_SQL}) GROUP BY 1)"
+            for lvl in (4, 5, 6)
+        ),
         "tiles_primary": (
             f"WITH r AS ({RECTS_A_SQL}) "
             f"SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell, doc_id FROM r"

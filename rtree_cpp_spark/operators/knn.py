@@ -38,6 +38,31 @@ from rtree_cpp_spark.operators.cover import with_cover_cells
 KNN_SCHEMA = "query_id string, doc_id string, sq_dist double, rank int"
 
 
+def _topk_kernel(pdf):
+    """Per-query distance-bounded top-k selection (applyInPandas kernel,
+    north_star: "distance-bounded priority queue in applyInPandas").
+
+    Vectorized equivalent of the reference's size-k max-heap
+    (RTreeBulkLoad.cpp:278-295) with the documented deterministic
+    tie-break (sq_dist, doc_id) — a lexicographic partial sort keeps
+    exactly the k best candidates and discards the rest, bounding
+    per-query memory to the candidate set of the gathered disk."""
+    import pandas as pd  # local: executors import lazily
+
+    k = int(pdf["k"].iat[0])
+    d = pdf["sq_dist"].to_numpy()
+    ids = pdf["doc_id"].to_numpy()
+    order = np.lexsort((ids, d))[:k]
+    return pd.DataFrame(
+        {
+            "query_id": pdf["query_id"].iat[0],
+            "doc_id": ids[order],
+            "sq_dist": d[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+        }
+    )
+
+
 def _disk_cells_df(qdf: DataFrame, grid: Grid) -> DataFrame:
     """Explode (query_id, x, y, k, qcx, qcy, rho) to its disk cells."""
     n = grid.n
@@ -53,13 +78,27 @@ def _disk_cells_df(qdf: DataFrame, grid: Grid) -> DataFrame:
     )
 
 
-def knn(data_rects: DataFrame, queries: DataFrame, grid: Grid, initial_radius: int = 1) -> DataFrame:
+def knn(
+    data_rects: DataFrame,
+    queries: DataFrame,
+    grid: Grid,
+    initial_radius: int = 1,
+    ranker: str = "window",
+) -> DataFrame:
     """data_rects(doc_id, min_x..max_y) x queries(query_id, x, y, k)
     → (query_id, doc_id, sq_dist, rank), exact, rank 1..k ascending.
 
     The query batch (like the reference's query file, src/Main.cpp:216)
     is driver-resident; the DATA side is never collected.
+
+    ``ranker`` picks the per-query top-k strategy — identical results:
+    - ``'window'``: JVM ``row_number`` over (sq_dist, doc_id) — whole
+      pipeline stays in codegen;
+    - ``'kernel'``: ``applyInPandas`` bounded priority-queue kernel
+      (north_star's stated shape) — one Arrow batch per query group.
     """
+    if ranker not in ("window", "kernel"):
+        raise ValueError(f"ranker must be 'window' or 'kernel', got {ranker!r}")
     spark = data_rects.sparkSession
     d = with_cover_cells(data_rects, grid).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -87,12 +126,19 @@ def knn(data_rects: DataFrame, queries: DataFrame, grid: Grid, initial_radius: i
                     F.col("max_x").cast("double"), F.col("max_y").cast("double"),
                 ),
             )
-            w = Window.partitionBy("query_id").orderBy("sq_dist", "doc_id")
-            ranked = (
-                scored.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= F.col("k"))
-                .select("query_id", "doc_id", "sq_dist", "rank")
-            )
+            if ranker == "window":
+                w = Window.partitionBy("query_id").orderBy("sq_dist", "doc_id")
+                ranked = (
+                    scored.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= F.col("k"))
+                    .select("query_id", "doc_id", "sq_dist", "rank")
+                )
+            else:
+                ranked = (
+                    scored.select("query_id", "doc_id", "sq_dist", "k")
+                    .groupBy("query_id")
+                    .applyInPandas(_topk_kernel, KNN_SCHEMA)
+                )
             stats = {
                 r["query_id"]: (r["cnt"], r["kth"])
                 for r in ranked.groupBy("query_id")
@@ -131,3 +177,11 @@ def knn(data_rects: DataFrame, queries: DataFrame, grid: Grid, initial_radius: i
         # lazily consumed unions re-read the persisted cover; Spark keeps
         # the data alive until the plan is executed, so defer unpersist.
         d.unpersist(blocking=False)
+
+
+def knn_kernel(
+    data_rects: DataFrame, queries: DataFrame, grid: Grid, initial_radius: int = 1
+) -> DataFrame:
+    """kNN with the applyInPandas bounded-priority-queue ranker
+    (north_star shape); results identical to :func:`knn`."""
+    return knn(data_rects, queries, grid, initial_radius, ranker="kernel")

@@ -47,6 +47,38 @@ def median_occupancy_by_level(
     return out
 
 
+def occupancy_stats(
+    rects: DataFrame, levels: list[int] | None = None, extent: float = 1024.0
+) -> DataFrame:
+    """(level, n_cells, max_occ, median_occ): exact per-level occupancy of
+    the centroid tile assignment — the observable the STR density
+    heuristic (SURVEY.md section 4.1) chooses the resolution from.
+    Exact ``percentile(0.5)`` (not approx) so the SQL oracle matches."""
+    levels = levels or [4, 5, 6]
+    cx, cy = center_cols(
+        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+    )
+    cells = rects.select(
+        *[Grid(lvl, extent).cell_of_point_col(cx, cy).alias(f"c{lvl}") for lvl in levels]
+    )
+    per_level = [
+        cells.groupBy(F.col(f"c{lvl}").alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.lit(lvl).alias("level"),
+            F.count("*").alias("n_cells"),
+            F.max("n").alias("max_occ"),
+            F.expr("percentile(n, 0.5D)").alias("median_occ"),
+        )
+        for lvl in levels
+    ]
+    out = per_level[0]
+    for df in per_level[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def choose_grid(
     rects: DataFrame,
     levels: list[int] | None = None,
