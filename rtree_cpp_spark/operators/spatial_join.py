@@ -83,6 +83,7 @@ def spatial_join_salted(
     hot_threshold: int = 10_000,
     n_salt: int = 16,
     keep_cell: bool = False,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """Cell join with explicit hot-cell salting (north_rule requirement).
 
@@ -90,14 +91,24 @@ def spatial_join_salted(
     split ``n_salt`` ways: A rows hash into a salt bucket, B rows fan out
     over all buckets for that cell.  Salting only *re-partitions* the
     same candidate pairs, so result rows are identical to the unsalted
-    join (asserted by tests/test_join.py on a skewed fixture).
+    join (asserted by tests/test_join.py on a skewed fixture) — which is
+    also why ``sample_fraction < 1`` is safe: at 10^12 docs the hot-cell
+    census runs on a seeded sample (threshold scaled by the fraction)
+    instead of a second full cover-explode of A, and any sampling error
+    only shifts which cells get salted, never which pairs come out.
     """
     a = _a_side(a_rects, grid)
     b = _b_side(b_rects, grid)
+    census_src = (
+        a
+        if sample_fraction >= 1.0
+        else _a_side(a_rects.sample(fraction=sample_fraction, seed=42), grid)
+    )
+    scaled_threshold = hot_threshold * sample_fraction
     hot = (
-        a.groupBy("cell")
+        census_src.groupBy("cell")
         .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > hot_threshold)
+        .where(F.col("_n") > scaled_threshold)
         .select("cell", F.lit(n_salt).alias("_n_salt"))
     )
     a = a.join(F.broadcast(hot), "cell", "left").withColumn(
