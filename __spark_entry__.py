@@ -88,13 +88,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count": lambda s, d: range_count(rects.rects_a(s, d), rects.queries_range(s, d), GRID),
         "spatial_join": lambda s, d: spatial_join(rects.rects_a(s, d), rects.rects_b(s, d), GRID),
         "spatial_join_salted": lambda s, d: spatial_join_salted(
-            rects.rects_a(s, d), rects.rects_b(s, d), GRID, hot_threshold=2000, n_salt=8
+            rects.rects_a(s, d), rects.rects_b(s, d), GRID,
+            hot_threshold=2000, n_salt=8, sample_fraction=0.25,
         ),
         "spatial_knn": lambda s, d: knn(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
         "spatial_knn_kernel": lambda s, d: knn_kernel(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
         "spatial_pip": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "closed"),
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
         "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
+        "interleaved_extract": _interleaved_extract,
         "tiles_primary": lambda s, d: primary_tiles(rects.rects_a(s, d), GRID),
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
@@ -123,6 +125,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
     }
+
+
+def _interleaved_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + span invariant as an oracled query: build the interleaved-doc
+    shape (input_hint), run the engine's span→rect extraction (float32
+    parse of the geo span), and emit the canonical span-sequence
+    signature — proving (kind, text, media_ref, order-by-offset) survives."""
+    from rtree_cpp_spark.sources.extract import spans_signature_col, with_rect
+
+    docs = rects.interleaved_docs_a(spark, sf_dir)
+    return with_rect(docs).select(
+        "doc_id",
+        "min_x", "min_y", "max_x", "max_y",
+        spans_signature_col(F.col("spans")).alias("sig"),
+    )
 
 
 def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +337,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
             "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
             "ON q.x > r.min_x AND q.x < r.max_x AND q.y > r.min_y AND q.y < r.max_y"
+        ),
+        "interleaved_extract": (
+            f"WITH r AS ({RECTS_A_SQL}) "
+            "SELECT doc_id, min_x, min_y, max_x, max_y, "
+            "CONCAT('text', chr(31), CONCAT('order ', doc_id), chr(30), "
+            f"'geo', chr(31), {rects.GEO_LINE_SQL}, chr(30), "
+            "'image', chr(31), CONCAT('media://', doc_id)) AS sig FROM r"
         ),
         "layout_occupancy": " UNION ALL ".join(
             f"SELECT {lvl} AS level, COUNT(*) AS n_cells, MAX(n) AS max_occ, "

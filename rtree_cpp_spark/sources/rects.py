@@ -70,6 +70,40 @@ QUERIES_KNN_SQL = (
     "FROM nation"
 )
 
+def _fmt2(v: str) -> str:
+    """Dialect-neutral 2-decimal string of a lattice value ('12.25', '12.00')."""
+    return f"CAST(CAST({v} AS DECIMAL(14,2)) AS STRING)"
+
+
+# The reference line format "x1 y1, x2 y2" (src/Main.cpp:65-77) rebuilt
+# from the rect columns — runs verbatim in Spark SQL and DuckDB.
+GEO_LINE_SQL = (
+    f"CONCAT({_fmt2('min_x')}, ' ', {_fmt2('min_y')}, ', ', "
+    f"{_fmt2('max_x')}, ' ', {_fmt2('max_y')})"
+)
+
+# Spark-only: materialize the interleaved span sequence (input_hint shape)
+# with spans deliberately OUT of offset order (geo, image, text) so the
+# signature's sort-by-offset does real work.
+INTERLEAVED_DOCS_SPARK_SQL = (
+    f"SELECT doc_id, array("
+    f"named_struct('kind', 'geo', 'text', {GEO_LINE_SQL}, "
+    f"'media_ref', CAST(NULL AS STRING), 'offset', 1), "
+    f"named_struct('kind', 'image', 'text', CAST(NULL AS STRING), "
+    f"'media_ref', CONCAT('media://', doc_id), 'offset', 2), "
+    f"named_struct('kind', 'text', 'text', CONCAT('order ', doc_id), "
+    f"'media_ref', CAST(NULL AS STRING), 'offset', 0)"
+    f") AS spans FROM ({RECTS_A_SQL}) r"
+)
+
+
+def interleaved_docs_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A rect set as interleaved text+media documents
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>)."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(INTERLEAVED_DOCS_SPARK_SQL)
+
+
 _VIEWS = {"orders": "orders", "customer": "customer", "nation": "nation"}
 
 
