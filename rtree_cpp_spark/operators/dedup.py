@@ -79,11 +79,16 @@ def _minhash_wide(docs: DataFrame, n_hashes: int) -> DataFrame:
     distinct (doc, shingle), then n cheap int64 universal hashes folded
     by n parallel MIN aggregates in a single groupBy (map-side partial
     aggregation; no row explosion, no per-seed shuffle)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        # single-file inputs otherwise run the whole map side on one core
+        docs = docs.repartition(sc.defaultParallelism)
     toks = _tokens(F.col("text"))
-    shingled = (
-        docs.where(F.size(toks) >= 3)
-        .select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
-        .distinct()
+    # No distinct-shingle pass: MIN is idempotent under duplicates, so
+    # min over the shingle multiset == min over the set (what the
+    # oracle's DISTINCT computes) — saves a full shuffle.
+    shingled = docs.where(F.size(toks) >= 3).select(
+        "doc_id", F.explode(_shingles(toks)).alias("shingle")
     )
     hm = (_h64(F.col("shingle")) % MINHASH_P).alias("hm")
     with_h = shingled.select("doc_id", hm)
