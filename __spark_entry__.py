@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d), n_queries=20, k=5),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_embeddings(s, d), n_queries=20, k=5, n_planes=4),
+        "ann_ivf_assign": lambda s, d: similarity.ivf_assign(_embeddings(s, d), n_centroids=16),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _embeddings(s, d), n_queries=20, k=5, n_centroids=16, n_probe=4
+        ),
+        "dedup_embedding": lambda s, d: similarity.embedding_neardup(_embeddings(s, d), threshold=0.4),
         # --- text analysis ---
         "text_token_stats": lambda s, d: text_analysis.token_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: text_analysis.lang_id(_docs(s, d)),
@@ -197,6 +202,18 @@ _H64_DUCK = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
 _DOT_DUCK = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+_SQDIFF_DUCK = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+    "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+_COS_DUCK = (
+    _DOT_DUCK.format(a="q_emb", b="n_emb")
+    + " / (SQRT(" + _DOT_DUCK.format(a="q_emb", b="q_emb") + ") * SQRT("
+    + _DOT_DUCK.format(a="n_emb", b="n_emb") + "))"
 )
 
 
@@ -306,6 +323,43 @@ def oracle_sql() -> dict[str, str]:
         'SELECT query_vec_id, neighbor_vec_id, cos_sim, CAST(rnk AS INT) AS "rank" '
         "FROM ranked WHERE rnk <= 5"
     )
+    ivf_assign_sql = (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        "cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM e WHERE vec_id < 16), "
+        "ranked AS (SELECT a.vec_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+        "ORDER BY " + _SQDIFF_DUCK.format(a="a.embedding", b="c.c_emb") + ", c.cent_id) AS rn "
+        "FROM e a CROSS JOIN cent c) "
+        "SELECT vec_id, cent_id FROM ranked WHERE rn = 1"
+    )
+    ivf_topk_sql = (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        "cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM e WHERE vec_id < 16), "
+        "asg AS (SELECT vec_id, cent_id FROM (SELECT a.vec_id, c.cent_id, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+        + _SQDIFF_DUCK.format(a="a.embedding", b="c.c_emb")
+        + ", c.cent_id) AS rn FROM e a CROSS JOIN cent c) WHERE rn = 1), "
+        "probes AS (SELECT query_vec_id, cent_id FROM (SELECT q.vec_id AS query_vec_id, c.cent_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        + _SQDIFF_DUCK.format(a="q.embedding", b="c.c_emb")
+        + ", c.cent_id) AS rn FROM e q CROSS JOIN cent c WHERE q.vec_id < 20) WHERE rn <= 4), "
+        "scored AS (SELECT p.query_vec_id, n.vec_id AS neighbor_vec_id, "
+        + _COS_DUCK.replace("q_emb", "qe.embedding").replace("n_emb", "n.embedding")
+        + " AS cos_sim FROM probes p "
+        "JOIN e qe ON qe.vec_id = p.query_vec_id "
+        "JOIN asg ON asg.cent_id = p.cent_id "
+        "JOIN e n ON n.vec_id = asg.vec_id AND n.vec_id <> p.query_vec_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_vec_id "
+        "ORDER BY cos_sim DESC, neighbor_vec_id) AS rnk FROM scored) "
+        'SELECT query_vec_id, neighbor_vec_id, cos_sim, CAST(rnk AS INT) AS "rank" '
+        "FROM ranked WHERE rnk <= 5"
+    )
+    neardup_sql = (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        "p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, "
+        + _COS_DUCK.replace("q_emb", "a.embedding").replace("n_emb", "b.embedding")
+        + " AS cos_sim FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        "SELECT a_vec_id, b_vec_id, cos_sim FROM p WHERE cos_sim >= 0.4e0"
+    )
     stop_in = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)
     lang_sql = (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
@@ -377,6 +431,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": cosine_sql,
         "ann_lsh_buckets": lsh_buckets_sql,
         "ann_lsh_topk": lsh_topk_sql,
+        "ann_ivf_assign": ivf_assign_sql,
+        "ann_ivf_topk": ivf_topk_sql,
+        "dedup_embedding": neardup_sql,
         "text_token_stats": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
             "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens, "

@@ -105,6 +105,120 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataF
     )
 
 
+def _fold_sqdiff_udf():
+    """Arrow-batched left-fold squared L2 distance: per row,
+    acc_{j+1} = acc_j + (a_j - b_j)^2 in float64 — matching the DuckDB
+    ``list_reduce`` oracle's op order exactly."""
+
+    @F.pandas_udf("double")
+    def fold_sqdiff(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            d = A[:, j] - B[:, j]
+            acc = acc + d * d
+        return pd.Series(acc)
+
+    return fold_sqdiff
+
+
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """(a_vec_id, b_vec_id, cos_sim): embedding-cosine near-duplicate
+    pairs, a < b — the exactness baseline of the dedup family's
+    embedding lens.  All-pairs at test scale; the 100 TB path blocks by
+    ``lsh_buckets`` first (same refine predicate, candidate recall < 1)."""
+    fold_dot = _fold_dot_udf()
+    withn = embeddings.select(
+        "vec_id", "embedding"
+    ).withColumn("nrm", F.sqrt(fold_dot(F.col("embedding"), F.col("embedding"))))
+    a = withn.select(
+        F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("b_vec_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    pairs = a.join(b, F.col("a_vec_id") < F.col("b_vec_id")).withColumn(
+        "cos_sim", fold_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    )
+    return pairs.where(F.col("cos_sim") >= threshold).select("a_vec_id", "b_vec_id", "cos_sim")
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(vec_id, cent_id): IVF coarse quantization — nearest centroid by
+    squared L2, tie-break cent_id.  Centroids are the first
+    ``n_centroids`` vectors (deterministic; a k-means refinement would
+    only change the centroid table, not this assignment plan).  At scale
+    this is a broadcast map-side pass: N x n_centroids distance folds,
+    no shuffle until the per-vector argmin window."""
+    fold_sqdiff = _fold_sqdiff_udf()
+    cent = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    scored = embeddings.select("vec_id", "embedding").crossJoin(cent).withColumn(
+        "l2", fold_sqdiff(F.col("embedding"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("l2", "cent_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: queries probe their ``n_probe`` nearest centroid lists,
+    exact cosine rank within the probed lists (recall < 1 by design) —
+    the inverted-file scale path next to ``lsh_topk``."""
+    fold_dot = _fold_dot_udf()
+    fold_sqdiff = _fold_sqdiff_udf()
+    assign = ivf_assign(embeddings, n_centroids)
+    emb = embeddings.join(assign, "vec_id")
+    cent = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    qw = Window.partitionBy("query_vec_id").orderBy("l2", "cent_id")
+    probes = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(cent)
+        .withColumn("l2", fold_sqdiff(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("_rn", F.row_number().over(qw))
+        .where(F.col("_rn") <= n_probe)
+        .withColumn("q_norm", F.sqrt(fold_dot(F.col("q_emb"), F.col("q_emb"))))
+        .select("query_vec_id", "q_emb", "q_norm", "cent_id")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_vec_id"), F.col("embedding").alias("n_emb"), "cent_id"
+    ).withColumn("n_norm", F.sqrt(fold_dot(F.col("n_emb"), F.col("n_emb"))))
+    scored = (
+        c.join(probes, "cent_id")
+        .where(F.col("neighbor_vec_id") != F.col("query_vec_id"))
+        .withColumn(
+            "cos_sim",
+            fold_dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_vec_id", "neighbor_vec_id", "cos_sim", "rank")
+    )
+
+
 def _plane_matrix(n_planes: int, dim: int) -> np.ndarray:
     """±1 hyperplane components w[p][i] from md5(p ':' i) parity —
     deterministic, identical to the DuckDB oracle's CASE over
