@@ -45,6 +45,75 @@ def run_stream_tiles_once(
     q.awaitTermination()
 
 
+def stream_spatial_join(docs_stream: DataFrame, static_rects: DataFrame, grid: Grid) -> DataFrame:
+    """Stream-static spatial join: arriving docs are cover-exploded and
+    joined against the static (indexed) rect table per micro-batch —
+    stateless, so no state store grows with the stream.  Semantics match
+    the batch ``spatial_join`` exactly (same refine + reference-point
+    dedup), asserted by the availableNow test."""
+    from rtree_cpp_spark.operators.spatial_join import _a_side, _b_side, _refine
+
+    a = _a_side(rects_only(docs_stream), grid)
+    b = _b_side(static_rects, grid)
+    return _refine(a.join(b, "cell"), grid)
+
+
+CELL_STATS_OUTPUT = (
+    "cell long, n_docs long, mbr_min_x float, mbr_min_y float, mbr_max_x float, mbr_max_y float"
+)
+CELL_STATS_STATE = (
+    "n_docs long, mbr_min_x double, mbr_min_y double, mbr_max_x double, mbr_max_y double"
+)
+
+
+def _cell_stats_update(key, pdfs, state):
+    """Custom stateful kernel (applyInPandasWithState): per-cell running
+    doc count + MBR — the streaming analog of the reference's
+    incremental node-MBR maintenance (Node.cpp:20-38)."""
+    import pandas as pd
+
+    if state.exists:
+        n, mnx, mny, mxx, mxy = state.get
+    else:
+        n, mnx, mny, mxx, mxy = 0, float("inf"), float("inf"), float("-inf"), float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        mnx = min(mnx, float(pdf["min_x"].min()))
+        mny = min(mny, float(pdf["min_y"].min()))
+        mxx = max(mxx, float(pdf["max_x"].max()))
+        mxy = max(mxy, float(pdf["max_y"].max()))
+    state.update((n, mnx, mny, mxx, mxy))
+    yield pd.DataFrame(
+        [{
+            "cell": key[0], "n_docs": n,
+            "mbr_min_x": mnx, "mbr_min_y": mny, "mbr_max_x": mxx, "mbr_max_y": mxy,
+        }]
+    )
+
+
+def stream_cell_stats(docs_stream: DataFrame, grid: Grid) -> DataFrame:
+    """Streaming per-cell stats over the primary-tile assignment via a
+    custom stateful operator; emits the updated (cell, n_docs, MBR) row
+    for every cell touched by each micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from rtree_cpp_spark.functions.geometry import center_cols
+
+    r = rects_only(docs_stream)
+    cx, cy = center_cols(
+        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+    )
+    tiled = r.withColumn("cell", grid.cell_of_point_col(cx, cy))
+    return tiled.groupBy("cell").applyInPandasWithState(
+        _cell_stats_update,
+        outputStructType=CELL_STATS_OUTPUT,
+        stateStructType=CELL_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_events_hourly(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup: late events beyond the
     watermark are dropped; state is bounded by watermark horizon."""

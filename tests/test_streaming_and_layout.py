@@ -99,3 +99,90 @@ def test_multimodal_feature_kernel(spark, docs_a_pdf):
         if len(raw):
             exp0 = np.array_split(np.frombuffer(raw, dtype=np.uint8).astype(np.float32), 8)[0].mean()
             assert abs(r["feature"][0] - exp0) < 1e-6
+
+
+def test_stream_spatial_join_matches_batch(spark, docs_a_df, docs_b_df, tmp_path):
+    from rtree_cpp_spark.operators.spatial_join import spatial_join
+    from rtree_cpp_spark.streaming.stream_ops import stream_docs, stream_spatial_join
+
+    docs_dir = str(tmp_path / "sj_docs")
+    docs_a_df.write.parquet(docs_dir)
+    grid = Grid(5)
+    static_b = rects_only(docs_b_df)
+    q = (
+        stream_spatial_join(stream_docs(spark, docs_dir), static_b, grid)
+        .writeStream.format("memory")
+        .queryName("sj_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM sj_stream").toPandas()
+        .sort_values(["a_doc_id", "b_doc_id"]).reset_index(drop=True)
+    )
+    exp = (
+        spatial_join(rects_only(docs_a_df), static_b, grid).toPandas()
+        .sort_values(["a_doc_id", "b_doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_cell_stats_stateful(spark, docs_a_df, tmp_path):
+    """applyInPandasWithState: final per-cell state across TWO separate
+    micro-batch sets equals the batch aggregate over all docs."""
+    from rtree_cpp_spark.streaming.stream_ops import stream_cell_stats, stream_docs
+    from rtree_cpp_spark.functions.geometry import center_cols
+
+    half = docs_a_df.count() // 2
+    pdf = docs_a_df.toPandas()
+    docs_dir = str(tmp_path / "cs_docs")
+    ckpt = str(tmp_path / "cs_ckpt")
+    out_dir = str(tmp_path / "cs_out")
+    grid = Grid(4)
+
+    def drain():
+        def sink(df, epoch_id):
+            df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_cell_stats(stream_docs(spark, docs_dir), grid)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(pdf.iloc[:half], schema=docs_a_df.schema).write.mode("overwrite").parquet(docs_dir)
+    drain()
+    spark.createDataFrame(pdf.iloc[half:], schema=docs_a_df.schema).write.mode("append").parquet(docs_dir)
+    drain()
+    # latest emitted row per cell across both drains == final running state
+    emitted = spark.read.parquet(out_dir).toPandas()
+    final = (
+        emitted.sort_values("epoch")
+        .groupby("cell", as_index=False)
+        .last()
+        .drop(columns=["epoch"])
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+
+    r = rects_only(docs_a_df)
+    cx, cy = center_cols(
+        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+    )
+    exp = (
+        r.withColumn("cell", grid.cell_of_point_col(cx, cy))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("min_x").alias("mbr_min_x"), F.min("min_y").alias("mbr_min_y"),
+            F.max("max_x").alias("mbr_max_x"), F.max("max_y").alias("mbr_max_y"),
+        )
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(final[exp.columns].astype(exp.dtypes.to_dict()), exp)
