@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": lambda s, d: multimodal.extract_features(
             multimodal.attach_media(_docs(s, d))
         ).select("doc_id", "kind", "n_bytes", "checksum"),
+        "multimodal_resize": lambda s, d: multimodal.resize_media(
+            multimodal.attach_media(_docs(s, d)), factor=4
+        ).select("doc_id", "kind", "n_bytes", "resized_bytes"),
+        "multimodal_frame_meta": lambda s, d: multimodal.sample_frames(
+            multimodal.attach_media(_docs(s, d)), frame_size=64, every=4
+        ).select("doc_id", "kind", "frame_idx", "frame_bytes"),
         # --- event analytics (streaming twins in rtree_cpp_spark/streaming) ---
         "events_hourly": lambda s, d: events.hourly_rollup(_events(s, d)),
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
@@ -454,6 +460,22 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
             "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
+        ),
+        "multimodal_resize": (
+            "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "
+            "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "octet_length(encode(text)) AS n FROM documents) "
+            "SELECT doc_id, kind, CAST(n AS INT) AS n_bytes, "
+            "CAST(CAST(FLOOR((n + 3) / 4.0) AS BIGINT) AS INT) AS resized_bytes FROM m"
+        ),
+        "multimodal_frame_meta": (
+            "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "
+            "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "octet_length(encode(text)) AS n FROM documents), "
+            "f AS (SELECT doc_id, kind, n, unnest(generate_series(0, "
+            "CAST(CEIL(n / 64.0) AS BIGINT) - 1, 4)) AS fi FROM m WHERE n > 0) "
+            "SELECT doc_id, kind, CAST(fi AS INT) AS frame_idx, "
+            "CAST(LEAST(64, n - fi * 64) AS INT) AS frame_bytes FROM f"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events, "

@@ -85,6 +85,71 @@ def extract_features(media_df: DataFrame, dim: int = 8) -> DataFrame:
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, kind string, n_bytes int, resized binary, resized_bytes int"
+
+
+def resize_media(media_df: DataFrame, factor: int = 4) -> DataFrame:
+    """mapInPandas 'resize': deterministic nearest-neighbor downsample of
+    the opaque payload (every ``factor``-th byte).  A real image resize
+    plugs into the same batch shape after ``decode_media``; the stride
+    slice stands in so the plumbing (binary in, binary out, Arrow
+    batches) is real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["media"]]
+            resized = [b[::factor].tobytes() for b in bufs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(b) for b in bufs],
+                    "resized": resized,
+                    "resized_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, kind string, frame_idx int, frame_bytes int, frame binary"
+
+
+def sample_frames(media_df: DataFrame, frame_size: int = 64, every: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: the payload is treated as consecutive
+    ``frame_size``-byte frames; every ``every``-th frame is kept — the
+    video-keyframe-sampling batch shape.  Frame boundaries and kept
+    indices are pure arithmetic, so the (doc_id, frame_idx, frame_bytes)
+    metadata is SQL-oracle-checkable while the bytes stay opaque."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_kind, out_idx, out_len, out_frame = [], [], [], [], []
+            for doc_id, kind, b in zip(
+                pdf["doc_id"].astype("int64"), pdf["kind"], pdf["media"]
+            ):
+                buf = np.frombuffer(b, dtype=np.uint8)
+                n_frames = (len(buf) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every):
+                    fr = buf[i * frame_size : (i + 1) * frame_size]
+                    out_doc.append(doc_id)
+                    out_kind.append(kind)
+                    out_idx.append(i)
+                    out_len.append(len(fr))
+                    out_frame.append(fr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "kind": out_kind,
+                    "frame_idx": pd.array(out_idx, dtype="int32"),
+                    "frame_bytes": pd.array(out_len, dtype="int32"),
+                    "frame": out_frame,
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_meta(docs: DataFrame) -> DataFrame:
     """SQL-checkable projection of the media metadata (gate query)."""
     m = attach_media(docs)

@@ -48,7 +48,8 @@ grid = Grid({level})
 a = rects_only(spark.read.parquet(a_dir))
 b = rects_only(spark.read.parquet(b_dir))
 t0 = time.perf_counter()
-pairs = spatial_join_salted(a, b, grid, hot_threshold={hot_threshold}, n_salt=16).count()
+pairs = spatial_join_salted(a, b, grid, hot_threshold={hot_threshold}, n_salt=16,
+                            sample_fraction=0.1).count()
 tiles = cover_tiles(a, grid).count()
 wall = time.perf_counter() - t0
 print(json.dumps({{"cpus": cpus, "wall_sec": wall, "pairs": pairs, "tiles": tiles,

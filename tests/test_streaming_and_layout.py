@@ -186,3 +186,30 @@ def test_stream_cell_stats_stateful(spark, docs_a_df, tmp_path):
         .toPandas().sort_values("cell").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(final[exp.columns].astype(exp.dtypes.to_dict()), exp)
+
+
+def test_multimodal_resize_and_frames(spark):
+    texts = ["abcdefghij" * 20, "x", "", "yz" * 100]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    from rtree_cpp_spark.operators.multimodal import attach_media, resize_media, sample_frames
+
+    m = attach_media(docs)
+    rz = {r["doc_id"]: r for r in resize_media(m, factor=4).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        assert bytes(rz[i]["resized"]) == raw[::4]
+        assert rz[i]["resized_bytes"] == len(raw[::4])
+    fr = sample_frames(m, frame_size=16, every=2).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        n_frames = (len(raw) + 15) // 16
+        kept = [k for k in range(0, n_frames, 2)]
+        rows = sorted(by_doc.get(i, []), key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == kept
+        for r in rows:
+            expect = raw[r["frame_idx"] * 16 : (r["frame_idx"] + 1) * 16]
+            assert bytes(r["frame"]) == expect
+            assert r["frame_bytes"] == len(expect)
