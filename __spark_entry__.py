@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
         "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
         "interleaved_extract": _interleaved_extract,
+        "interleaved_join_spans": _interleaved_join_spans,
         "tiles_primary": lambda s, d: primary_tiles(rects.rects_a(s, d), GRID),
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
@@ -150,6 +151,29 @@ def _interleaved_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "min_x", "min_y", "max_x", "max_y",
         spans_signature_col(F.col("spans")).alias("sig"),
+    )
+
+
+def _interleaved_join_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete north_star pipeline as ONE oracled query: interleaved
+    docs → span→rect extraction → cell spatial join → spans re-joined by
+    doc_id → per-pair span signatures.  The join shuffle carries only
+    (doc_id, rect, cell); spans attach late (SURVEY.md §1.4)."""
+    from rtree_cpp_spark.sources.extract import spans_signature_col, with_rect
+
+    docs_a = rects.interleaved_docs_a(spark, sf_dir)
+    docs_b = rects.interleaved_docs_b(spark, sf_dir)
+    a = with_rect(docs_a).select("doc_id", "min_x", "min_y", "max_x", "max_y")
+    b = with_rect(docs_b).select("doc_id", "min_x", "min_y", "max_x", "max_y")
+    pairs = spatial_join(a, b, GRID)
+    sig_a = docs_a.select(
+        F.col("doc_id").alias("a_doc_id"), spans_signature_col(F.col("spans")).alias("a_sig")
+    )
+    sig_b = docs_b.select(
+        F.col("doc_id").alias("b_doc_id"), spans_signature_col(F.col("spans")).alias("b_sig")
+    )
+    return pairs.join(sig_a, "a_doc_id").join(sig_b, "b_doc_id").select(
+        "a_doc_id", "b_doc_id", "a_sig", "b_sig"
     )
 
 
@@ -404,6 +428,13 @@ def oracle_sql() -> dict[str, str]:
             "CONCAT('text', chr(31), CONCAT('order ', doc_id), chr(30), "
             f"'geo', chr(31), {rects.GEO_LINE_SQL}, chr(30), "
             "'image', chr(31), CONCAT('media://', doc_id)) AS sig FROM r"
+        ),
+        "interleaved_join_spans": (
+            f"WITH a AS ({RECTS_A_SQL}), b AS ({RECTS_B_SQL}) "
+            f"SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, "
+            f"{rects.sig_sql('a', 'order')} AS a_sig, "
+            f"{rects.sig_sql('b', 'customer')} AS b_sig "
+            f"FROM a JOIN b ON {ab_join}"
         ),
         "layout_occupancy": " UNION ALL ".join(
             f"SELECT {lvl} AS level, COUNT(*) AS n_cells, MAX(n) AS max_occ, "

@@ -85,16 +85,33 @@ GEO_LINE_SQL = (
 # Spark-only: materialize the interleaved span sequence (input_hint shape)
 # with spans deliberately OUT of offset order (geo, image, text) so the
 # signature's sort-by-offset does real work.
-INTERLEAVED_DOCS_SPARK_SQL = (
-    f"SELECT doc_id, array("
-    f"named_struct('kind', 'geo', 'text', {GEO_LINE_SQL}, "
-    f"'media_ref', CAST(NULL AS STRING), 'offset', 1), "
-    f"named_struct('kind', 'image', 'text', CAST(NULL AS STRING), "
-    f"'media_ref', CONCAT('media://', doc_id), 'offset', 2), "
-    f"named_struct('kind', 'text', 'text', CONCAT('order ', doc_id), "
-    f"'media_ref', CAST(NULL AS STRING), 'offset', 0)"
-    f") AS spans FROM ({RECTS_A_SQL}) r"
-)
+def _interleaved_spark_sql(rect_sql: str, text_prefix: str) -> str:
+    return (
+        f"SELECT doc_id, array("
+        f"named_struct('kind', 'geo', 'text', {GEO_LINE_SQL}, "
+        f"'media_ref', CAST(NULL AS STRING), 'offset', 1), "
+        f"named_struct('kind', 'image', 'text', CAST(NULL AS STRING), "
+        f"'media_ref', CONCAT('media://', doc_id), 'offset', 2), "
+        f"named_struct('kind', 'text', 'text', CONCAT('{text_prefix} ', doc_id), "
+        f"'media_ref', CAST(NULL AS STRING), 'offset', 0)"
+        f") AS spans FROM ({rect_sql}) r"
+    )
+
+
+INTERLEAVED_DOCS_SPARK_SQL = _interleaved_spark_sql(RECTS_A_SQL, "order")
+INTERLEAVED_DOCS_B_SPARK_SQL = _interleaved_spark_sql(RECTS_B_SQL, "customer")
+
+
+def sig_sql(alias: str, text_prefix: str) -> str:
+    """Dialect-neutral reconstruction of the canonical span signature for
+    the interleaved docs above (kind/text/media_ref ordered by offset)."""
+    return (
+        f"CONCAT('text', chr(31), CONCAT('{text_prefix} ', {alias}.doc_id), chr(30), "
+        f"'geo', chr(31), CONCAT("
+        f"{_fmt2(f'{alias}.min_x')}, ' ', {_fmt2(f'{alias}.min_y')}, ', ', "
+        f"{_fmt2(f'{alias}.max_x')}, ' ', {_fmt2(f'{alias}.max_y')}), chr(30), "
+        f"'image', chr(31), CONCAT('media://', {alias}.doc_id))"
+    )
 
 
 def interleaved_docs_a(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,6 +119,11 @@ def interleaved_docs_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>)."""
     _ensure_views(spark, sf_dir)
     return spark.sql(INTERLEAVED_DOCS_SPARK_SQL)
+
+
+def interleaved_docs_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(INTERLEAVED_DOCS_B_SPARK_SQL)
 
 
 _VIEWS = {"orders": "orders", "customer": "customer", "nation": "nation"}
