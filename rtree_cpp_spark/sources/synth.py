@@ -71,24 +71,35 @@ def _u(x: np.ndarray, seed: int) -> np.ndarray:
     return (_h64(x, seed) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def rects_for_indices(idx: np.ndarray, seed: int) -> dict[str, np.ndarray]:
-    """Lattice rects: 70% uniform over [0,1024)^2, 30% clustered (skew)."""
+def rects_for_indices(
+    idx: np.ndarray,
+    seed: int,
+    cluster_frac: float = 0.30,
+    cluster_diam: float = _CLUSTER_DIAM,
+    max_dim: float = 16.0,
+    extent: float = 1024.0,
+) -> dict[str, np.ndarray]:
+    """Lattice rects: (1-cluster_frac) uniform over [0,1024)^2, the rest
+    clustered into hot spots of diameter ``cluster_diam`` (skew knob —
+    defaults reproduce the original fixture distribution)."""
     idx = np.asarray(idx, dtype=np.int64)
-    clustered = _u(idx, seed + 1) < 0.30
+    clustered = _u(idx, seed + 1) < cluster_frac
+    scale = extent / 1024.0
     # uniform centers on the 0.25 lattice
-    ux = np.floor(_u(idx, seed + 2) * 4096.0) * 0.25
-    uy = np.floor(_u(idx, seed + 3) * 4096.0) * 0.25
+    ux = np.floor(_u(idx, seed + 2) * 4096.0 * scale) * 0.25
+    uy = np.floor(_u(idx, seed + 3) * 4096.0 * scale) * 0.25
     # clustered centers: pick a cluster, offset within +-diam/2 on the lattice
     ci = (_h64(idx, seed + 4) % np.uint64(len(_CLUSTERS))).astype(np.int64)
-    off_x = np.floor((_u(idx, seed + 5) - 0.5) * _CLUSTER_DIAM * 4.0) * 0.25
-    off_y = np.floor((_u(idx, seed + 6) - 0.5) * _CLUSTER_DIAM * 4.0) * 0.25
-    cxr = _CLUSTERS[ci, 0] + off_x
-    cyr = _CLUSTERS[ci, 1] + off_y
+    off_x = np.floor((_u(idx, seed + 5) - 0.5) * cluster_diam * 4.0) * 0.25
+    off_y = np.floor((_u(idx, seed + 6) - 0.5) * cluster_diam * 4.0) * 0.25
+    cxr = _CLUSTERS[ci, 0] * scale + off_x
+    cyr = _CLUSTERS[ci, 1] * scale + off_y
     x = np.where(clustered, cxr, ux)
     y = np.where(clustered, cyr, uy)
-    # width/height in {0.25 .. 16.0}, multiples of 0.25
-    w = ((_h64(idx, seed + 7) % np.uint64(64)).astype(np.float64) + 1.0) * 0.25
-    h = ((_h64(idx, seed + 8) % np.uint64(64)).astype(np.float64) + 1.0) * 0.25
+    # width/height in {0.25 .. max_dim}, multiples of 0.25
+    steps = np.uint64(max(1, int(max_dim * 4)))
+    w = ((_h64(idx, seed + 7) % steps).astype(np.float64) + 1.0) * 0.25
+    h = ((_h64(idx, seed + 8) % steps).astype(np.float64) + 1.0) * 0.25
     return {
         "min_x": x,
         "min_y": y,
@@ -102,10 +113,18 @@ def _fmt_coord(v: float) -> str:
     return f"{v:.2f}".rstrip("0").rstrip(".") if v % 1 else str(int(v))
 
 
-def synth_docs_pdf(prefix: str, n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+def synth_docs_pdf(
+    prefix: str,
+    n: int,
+    seed: int = 42,
+    start: int = 0,
+    cluster_frac: float = 0.30,
+    cluster_diam: float = _CLUSTER_DIAM,
+    max_dim: float = 16.0,
+) -> pd.DataFrame:
     """Pandas chunk of interleaved docs for indices [start, start+n)."""
     idx = np.arange(start, start + n, dtype=np.int64)
-    r = rects_for_indices(idx, seed)
+    r = rects_for_indices(idx, seed, cluster_frac, cluster_diam, max_dim)
     n_spans = (_h64(idx, seed + 10) % np.uint64(4)).astype(np.int64) + 3  # 3..6
     geo_pos = (_h64(idx, seed + 11) % n_spans.astype(np.uint64)).astype(np.int64)
     doc_ids, spans_col = [], []
@@ -158,7 +177,16 @@ def synth_docs_df(spark: SparkSession, prefix: str, n: int, seed: int = 42, num_
     return rng.mapInPandas(gen, schema=DOC_SCHEMA)
 
 
-def synth_docs_df_fast(spark: SparkSession, prefix: str, n: int, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
+def synth_docs_df_fast(
+    spark: SparkSession,
+    prefix: str,
+    n: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    cluster_frac: float = 0.30,
+    cluster_diam: float = _CLUSTER_DIAM,
+    max_dim: float = 16.0,
+) -> DataFrame:
     """Same as synth_docs_df but vectorized per Arrow batch (bench path)."""
 
     def gen(batches):
@@ -169,7 +197,11 @@ def synth_docs_df_fast(spark: SparkSession, prefix: str, n: int, seed: int = 42,
             # ids from spark.range partitions are contiguous runs
             runs = np.split(ids, np.where(np.diff(ids) != 1)[0] + 1)
             for run in runs:
-                yield synth_docs_pdf(prefix, len(run), seed, start=int(run[0]))
+                yield synth_docs_pdf(
+                    prefix, len(run), seed, start=int(run[0]),
+                    cluster_frac=cluster_frac, cluster_diam=cluster_diam,
+                    max_dim=max_dim,
+                )
 
     rng = spark.range(0, n, numPartitions=num_partitions)
     return rng.mapInPandas(gen, schema=DOC_SCHEMA)
@@ -210,3 +242,49 @@ def synth_knn_queries_pdf(n: int, seed: int = 44, ks=(1, 5, 64, 200)) -> pd.Data
     y = (r["min_y"] + r["max_y"]) / 2.0
     k = np.asarray(ks, dtype=np.int64)[(_h64(idx, seed + 1) % np.uint64(len(ks))).astype(np.int64)]
     return pd.DataFrame({"query_id": [f"K{i:04d}" for i in idx], "x": x, "y": y, "k": k})
+
+
+def synth_docs_df_vec(
+    spark: SparkSession,
+    prefix: str,
+    n: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    cluster_frac: float = 0.30,
+    cluster_diam: float = _CLUSTER_DIAM,
+    max_dim: float = 16.0,
+    extent: float = 1024.0,
+) -> DataFrame:
+    """Fully vectorized interleaved-doc generator (large-scale bench
+    path): fixed 3-span sequence (text, geo, image) built with numpy
+    string kernels — no per-doc Python loop, ~50x synth_docs_df_fast.
+    Same deterministic (seed, idx) hashing, same input_hint schema."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = np.sort(pdf["id"].to_numpy())
+            if len(ids) == 0:
+                continue
+            r = rects_for_indices(ids, seed, cluster_frac, cluster_diam, max_dim, extent)
+            fmt = lambda v: np.char.mod("%.2f", v)  # lattice: exact 2-dec strings
+            geo = np.char.add(
+                np.char.add(np.char.add(fmt(r["min_x"]), " "), fmt(r["min_y"])),
+                np.char.add(
+                    np.char.add(", ", np.char.add(fmt(r["max_x"]), " ")), fmt(r["max_y"])
+                ),
+            )
+            doc_ids = np.char.add(prefix, np.char.mod("%08d", ids))
+            wi = (_h64(ids, seed + 13) % np.uint64(len(_WORDS))).astype(np.int64)
+            words = np.asarray(_WORDS, dtype=object)[wi]
+            spans = [
+                [
+                    {"kind": "text", "text": str(w), "media_ref": "", "offset": 0},
+                    {"kind": "geo", "text": str(g), "media_ref": "", "offset": 1},
+                    {"kind": "image", "text": "", "media_ref": f"s3://synth/image/{d}/2.bin", "offset": 2},
+                ]
+                for w, g, d in zip(words, geo, doc_ids)
+            ]
+            yield pd.DataFrame({"doc_id": doc_ids, "spans": spans})
+
+    rng = spark.range(0, n, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=DOC_SCHEMA)
