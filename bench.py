@@ -33,6 +33,10 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ParallelGC: G1's concurrent cycles cost up to 8x wall on
+        # allocation-heavy joins at high core counts (measured on the
+        # salted join: 67.6s G1 vs 8.4s ParallelGC at local[32])
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -26,6 +26,7 @@ MASTER="${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
 exec spark-submit \
     --master "$MASTER" \
     --py-files "$ZIP" \
+    --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.adaptive.skewJoin.enabled=true \
     --conf spark.sql.execution.arrow.pyspark.enabled=true \
