@@ -75,6 +75,10 @@ def synth_input(
 
     from rtree_cpp_spark.sources.synth import synth_docs_df_vec
 
+    a_dir = f"{out_dir}/docs_a"
+    b_dir = f"{out_dir}/docs_b"
+    if os.path.exists(f"{a_dir}/_SUCCESS") and os.path.exists(f"{b_dir}/_SUCCESS"):
+        return a_dir, b_dir  # reuse byte-identical input across runs
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.driver.memory", "16g")
@@ -82,8 +86,6 @@ def synth_input(
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    a_dir = f"{out_dir}/docs_a"
-    b_dir = f"{out_dir}/docs_b"
     synth_docs_df_vec(
         spark, "A", a_n, seed=42, num_partitions=128,
         cluster_frac=cluster_frac, cluster_diam=cluster_diam, max_dim=max_dim,
@@ -143,6 +145,7 @@ def main() -> None:
     lo_cpus = int(os.environ.get("SCALING_LO", "2"))
     hi_cpus = int(os.environ.get("SCALING_HI", "8"))
     lo, hi = None, None
+    lo_walls, hi_walls = [], []
     for _ in range(attempts):
         cur_lo = run_level(lo_cpus, a_dir, b_dir, level, hot_threshold, extent)
         cur_hi = run_level(hi_cpus, a_dir, b_dir, level, hot_threshold, extent)
@@ -150,6 +153,8 @@ def main() -> None:
             lo = cur_lo
         if hi is None or cur_hi["wall_sec"] < hi["wall_sec"]:
             hi = cur_hi
+        lo_walls.append(round(cur_lo["wall_sec"], 2))
+        hi_walls.append(round(cur_hi["wall_sec"], 2))
         print(json.dumps({"attempt_lo": cur_lo["wall_sec"], "attempt_hi": cur_hi["wall_sec"]}))
     lo["docs_per_sec"] = (lo["pairs"] + lo["tiles"]) / lo["wall_sec"]
     hi["docs_per_sec"] = (hi["pairs"] + hi["tiles"]) / hi["wall_sec"]
@@ -171,6 +176,8 @@ def main() -> None:
         "docs_b": b_n,
         "grid_level": level,
         "extent": extent,
+        "lo_walls": lo_walls,
+        "hi_walls": hi_walls,
     }
     print(json.dumps(summary))
 
@@ -204,6 +211,10 @@ Config: grid level {level} over [0,{extent:g})^2 (cell = {extent / 2**level:g}),
 results verified identical across both levels (pairs={lo['pairs']:,}, tiles={lo['tiles']:,}).
 Throughput counts output-side rows of the join+tiling job over end-to-end wall
 time including shuffle, excluding one-time synthesis (BASELINE.md protocol).
+The sandbox VM throttles in multi-minute cycles (identical runs vary up to 4x),
+so each level ran {len(lo_walls)} interleaved attempts and the MINIMUM wall — the
+reproducible steady-state — is reported.  All attempt walls (s), in order:
+local[{lo_cpus}]: {lo_walls}; local[{hi_cpus}]: {hi_walls}.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
