@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: text_analysis.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: text_analysis.quality_score(_docs(s, d)),
         "text_fingerprint": lambda s, d: text_analysis.fingerprint(_docs(s, d)),
+        "text_bpe_tokens": lambda s, d: text_analysis.bpe_token_stats(_docs(s, d)),
+        "text_rolling_hash": lambda s, d: text_analysis.rolling_hash(_docs(s, d)),
         # --- multimodal plumbing ---
         "multimodal_meta": lambda s, d: multimodal.media_meta(_docs(s, d)),
         "multimodal_features": lambda s, d: multimodal.extract_features(
@@ -487,6 +489,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(text)) AS fp_hash, "
             + _H64_DUCK.format(s="lower(text)")
             + " AS fp64 FROM documents"
+        ),
+        "text_bpe_tokens": (
+            "WITH t AS (SELECT doc_id, "
+            f"regexp_extract_all(text, '{text_analysis.BPE_REGEX}') AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens, "
+            "CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) AS n_word_tokens, "
+            "CAST(len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) "
+            "AS n_symbol_tokens FROM t"
+        ),
+        "text_rolling_hash": (
+            "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(generate_series(1, length(text)), "
+            "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
+            f"(acc, c) -> (acc * {text_analysis.ROLL_B} + c) % {text_analysis.ROLL_P}) "
+            "AS roll_hash FROM documents"
         ),
         "multimodal_meta": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "

@@ -50,6 +50,44 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.round(q, 6).alias("quality"))
 
 
+# BPE-ish pre-tokenization: word pieces OR single non-space symbols —
+# the regex family GPT-2/tiktoken-style tokenizers split on before
+# merges.  Dialect-neutral (same regex runs in Spark and DuckDB).
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_word_tokens, n_symbol_tokens): regex
+    pre-token counts — the BPE-ish twin of whitespace token_stats."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)
+    words = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        (F.size(toks) - F.size(words)).alias("n_symbol_tokens"),
+    )
+
+
+ROLL_B = 31
+ROLL_P = 2147483647  # 2^31 - 1; h*31 + c < 2^36 — exact in int64
+
+
+def rolling_hash(docs: DataFrame) -> DataFrame:
+    """(doc_id, roll_hash): polynomial rolling hash (Rabin-Karp) over the
+    document's unicode code points — h = (h*31 + code) mod 2^31-1, left
+    fold in character order.  Pure integer arithmetic, bit-identical in
+    any engine; the windowed form of this hash is the shingle kernel a
+    rolling-fingerprint dedup uses at scale."""
+    chars = F.split(F.col("text"), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_B + F.ascii(c)) % ROLL_P,
+    )
+    return docs.select("doc_id", h.alias("roll_hash"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp_hash, fp64): md5 content fingerprint + 60-bit integer
     form (for bucketing/sorting without strings)."""
