@@ -101,3 +101,41 @@ def test_cover_tiles_vs_brute(spark, rects_a_df, rects_a_pdf):
     got = cover_tiles(rects_a_df, grid)
     exp = brute.tiles_cover_brute(rects_a_pdf, grid)
     assert_same_rows(got, exp)
+
+
+@pytest.mark.parametrize("grid", GRIDS, ids=lambda g: f"level{g.level}")
+def test_knn_kernel_equals_window(spark, rects_a_df, rects_a_pdf, grid):
+    from rtree_cpp_spark.operators.knn import knn_kernel
+
+    qpdf = synth.synth_knn_queries_pdf(8, seed=44)
+    qdf = spark.createDataFrame(qpdf)
+    got_kernel = knn_kernel(rects_a_df, qdf, grid)
+    exp = brute.knn_brute(rects_a_pdf, qpdf, dtype=np.float64)
+    assert_same_rows(got_kernel, exp)
+
+
+@pytest.mark.parametrize("boundary", ["closed", "open"])
+def test_pip_join_vs_brute(spark, rects_a_df, rects_a_pdf, boundary):
+    from rtree_cpp_spark.operators.pip_join import pip_join
+
+    grid = Grid(5)
+    qpdf = synth.synth_knn_queries_pdf(40, seed=45)
+    pts = qpdf.rename(columns={"query_id": "point_id"})[["point_id", "x", "y"]]
+    got_df = pip_join(spark.createDataFrame(pts), rects_a_df, grid, boundary)
+    got = got_df.toPandas()
+    x, y = pts["x"].to_numpy()[:, None], pts["y"].to_numpy()[:, None]
+    r = {c: rects_a_pdf[c].to_numpy()[None, :] for c in ("min_x", "min_y", "max_x", "max_y")}
+    if boundary == "closed":
+        hit = (x >= r["min_x"]) & (x <= r["max_x"]) & (y >= r["min_y"]) & (y <= r["max_y"])
+    else:  # strict interior, Rectangle.cpp:30
+        hit = (x > r["min_x"]) & (x < r["max_x"]) & (y > r["min_y"]) & (y < r["max_y"])
+    pi, ri = np.nonzero(hit)
+    exp = pd.DataFrame(
+        {"point_id": pts["point_id"].to_numpy()[pi], "doc_id": rects_a_pdf["doc_id"].to_numpy()[ri]}
+    )
+    assert_same_rows(got_df, exp)
+    if boundary == "open":
+        # the strict set is a subset of the closed set
+        closed = pip_join(spark.createDataFrame(pts), rects_a_df, grid, "closed").toPandas()
+        m = got.merge(closed, on=["point_id", "doc_id"])
+        assert len(m) == len(got)
