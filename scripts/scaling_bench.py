@@ -19,7 +19,9 @@ Each level runs in its own subprocess (one JVM per master).  The input
 30% hot-cluster skew) is synthesized once to a shared parquet dir by a
 parallelism-independent generator, so both runs read identical bytes.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/SCALING_RUN.md (raw per-run report; the curated
+analysis with hardware controls lives in BENCH/BASELINE.md) and prints
+one JSON line.
 """
 
 from __future__ import annotations
@@ -217,7 +219,7 @@ reproducible steady-state — is reported.  All attempt walls (s), in order:
 local[{lo_cpus}]: {lo_walls}; local[{hi_cpus}]: {hi_walls}.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    (REPO / "BENCH" / "SCALING_RUN.md").write_text(md)
 
 
 if __name__ == "__main__":
