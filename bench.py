@@ -56,13 +56,22 @@ def main() -> None:
         "spatial_join_salted",
         "spatial_range",
         "spatial_knn",
+        "spatial_knn_kernel",
+        "spatial_pip",
+        "interleaved_join_spans",
         "tiles_cover",
         "tile_stats",
+        "layout_occupancy",
         "dedup_minhash_lsh",
         "dedup_exact",
+        "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "text_quality",
+        "text_bpe_tokens",
+        "text_rolling_hash",
+        "multimodal_frame_meta",
         "events_hourly",
         "events_sessionize",
         "agg_pricing_summary",
