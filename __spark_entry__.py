@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "kind", "frame_idx", "frame_bytes"),
         # --- event analytics (streaming twins in rtree_cpp_spark/streaming) ---
         "events_hourly": lambda s, d: events.hourly_rollup(_events(s, d)),
+        "events_asof": lambda s, d: events.asof_join(_events(s, d)),
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
@@ -529,6 +530,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "events_asof": (
+            "WITH l AS (SELECT * FROM events WHERE event_type = 'click'), "
+            "r AS (SELECT * FROM events WHERE event_type = 'view'), "
+            "cand AS (SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts, "
+            "r.event_id AS view_id, r.ts AS view_ts, "
+            "ROW_NUMBER() OVER (PARTITION BY l.event_id "
+            "ORDER BY r.ts DESC, r.event_id DESC) AS rn "
+            "FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts) "
+            "SELECT click_id, user_id, click_ts, view_id, view_ts FROM cand WHERE rn = 1"
         ),
         "events_sessionize": (
             "WITH flagged AS (SELECT user_id, ts, event_id, "

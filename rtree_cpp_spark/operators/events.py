@@ -25,6 +25,50 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+) -> DataFrame:
+    """As-of join: each ``left_type`` event matched to the most recent
+    ``right_type`` event of the same user at-or-before its timestamp
+    (ties at equal ts and equal right-ts broken by larger event_id).
+
+    Implemented as union + single ordered window pass — ONE shuffle on
+    user_id, O(n log n) — instead of the naive range join whose
+    candidate set is quadratic per user.  Inner semantics: left events
+    with no prior right event are dropped.
+
+    Output: (click_id, user_id, click_ts, view_id, view_ts).
+    """
+    both = events.where(F.col("event_type").isin(left_type, right_type)).select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == right_type, 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("r_id"),
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("r_ts"),
+    )
+    # rights sort before lefts at equal ts (tag 0 < 1); among equal-ts
+    # rights the largest event_id comes last, so `last(ignorenulls)` picks
+    # exactly the as-of candidate for every left row.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        both.withColumn("view_id", F.last("r_id", ignorenulls=True).over(w))
+        .withColumn("view_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .where((F.col("tag") == 1) & F.col("view_id").isNotNull())
+    )
+    return matched.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "view_id",
+        "view_ts",
+    )
+
+
 def sessionize(events: DataFrame, gap_s: float = SESSION_GAP_S) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds ``gap_s`` seconds.
