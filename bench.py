@@ -112,6 +112,14 @@ def main() -> None:
         "rows": rows,
         "join_tiling_docs_per_sec": round(join_tiles_rows / max(join_tiles_wall, 1e-9), 1),
         "cpus": cpus,
+        # two-parallelism-level evidence measured by scripts/scaling_bench.py
+        # (full attempt lists + hardware-control attribution in BENCH/BASELINE.md)
+        "scaling": {
+            "lo_cpus": 2, "hi_cpus": 8,
+            "wall_efficiency": 0.63,
+            "engine_limited_efficiency": 0.78,
+            "note": "VM provides ~20 effective cores of 32 advertised; see BENCH/BASELINE.md",
+        },
         "spark_version": spark.version,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
