@@ -142,3 +142,29 @@ def write_layout(
 
 def read_layout(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    rects: DataFrame,
+    table_name: str,
+    grid: Grid,
+    n_buckets: int = 16,
+) -> None:
+    """Write a cell-BUCKETED table (Hive bucketing on ``cell``): two
+    tables bucketed the same way join WITHOUT any exchange — the
+    shuffle the cell equi-join would otherwise pay happens once at
+    write time and is amortized over every subsequent join/query
+    (SURVEY.md §4.2 "bucketing for co-located joins"; the closest Spark
+    analog of the reference's persistent R-tree).  Requires a warehouse
+    (saveAsTable); asserted shuffle-free by tests via plan inspection."""
+    cx, cy = center_cols(
+        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+    )
+    df = rects.withColumn("cell", grid.cell_of_point_col(cx, cy))
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell", "min_x")
+        .saveAsTable(table_name)
+    )

@@ -213,3 +213,43 @@ def test_multimodal_resize_and_frames(spark):
             expect = raw[r["frame_idx"] * 16 : (r["frame_idx"] + 1) * 16]
             assert bytes(r["frame"]) == expect
             assert r["frame_bytes"] == len(expect)
+
+
+def test_bucketed_join_has_no_exchange(spark, rects_a_pdf, rects_b_pdf):
+    """Cell-bucketed tables join with ZERO exchange — the write-once
+    amortized shuffle that makes the layout 'the index' at scale."""
+    from rtree_cpp_spark.plans.layout import write_bucketed
+
+    grid = Grid(5)
+    write_bucketed(spark.createDataFrame(rects_a_pdf), "bkt_a", grid, n_buckets=8)
+    write_bucketed(spark.createDataFrame(rects_b_pdf), "bkt_b", grid, n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bkt_a").select(F.col("doc_id").alias("a_doc_id"), "cell")
+        b = spark.table("bkt_b").select(F.col("doc_id").alias("b_doc_id"), "cell")
+        joined = a.join(b, "cell")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        # and it computes the same candidate multiset as a plain join
+        plain = (
+            spark.createDataFrame(rects_a_pdf)
+            .withColumn("cell", grid.cell_of_point_col(
+                (F.col("min_x") + F.col("max_x")) / 2, (F.col("min_y") + F.col("max_y")) / 2))
+            .select(F.col("doc_id").alias("a_doc_id"), "cell")
+            .join(
+                spark.createDataFrame(rects_b_pdf)
+                .withColumn("cell", grid.cell_of_point_col(
+                    (F.col("min_x") + F.col("max_x")) / 2, (F.col("min_y") + F.col("max_y")) / 2))
+                .select(F.col("doc_id").alias("b_doc_id"), "cell"),
+                "cell",
+            )
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
