@@ -34,8 +34,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--extent", type=float, default=1024.0)
     p.add_argument("--coarse-level", type=int, default=3,
                    help="lineage partition granularity (2^L x 2^L coarse cells)")
-    p.add_argument("--format", choices=["parquet", "iceberg"], default="parquet",
-                   help="input format: parquet path or Iceberg table name")
+    p.add_argument("--format", choices=["parquet", "iceberg", "text"], default="parquet",
+                   help="input format: interleaved-doc parquet path, Iceberg table "
+                        "name, or the reference CLI's dataset text format "
+                        "('x1 y1, x2 y2' lines, line-order ids — src/Main.cpp:50-78)")
     p.add_argument("--master", default=None, help="local testing only")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
@@ -65,7 +67,28 @@ def load_docs(spark: SparkSession, ref: str, fmt: str) -> DataFrame:
 
 
 def load_rects(spark: SparkSession, ref: str, fmt: str) -> DataFrame:
+    if fmt == "text":
+        from rtree_cpp_spark.sources.reference_files import load_data
+
+        return load_data(spark, ref)
     return rects_only(load_docs(spark, ref, fmt))
+
+
+def load_query_rects(spark: SparkSession, ref: str) -> DataFrame:
+    """Query tables: parquet, or the reference query text format."""
+    if ref.endswith(".txt"):
+        from rtree_cpp_spark.sources.reference_files import read_range_queries
+
+        return read_range_queries(spark, ref)
+    return spark.read.parquet(ref)
+
+
+def load_query_points(spark: SparkSession, ref: str) -> DataFrame:
+    if ref.endswith(".txt"):
+        from rtree_cpp_spark.sources.reference_files import read_nearest_queries
+
+        return read_nearest_queries(spark, ref)
+    return spark.read.parquet(ref)
 
 
 def coarse_cell_col(grid: Grid, coarse_level: int, cell: Column) -> Column:

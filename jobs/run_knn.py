@@ -17,7 +17,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from jobs._common import base_parser, build_session, coarse_cell_col, finish, load_rects
+from jobs._common import base_parser, build_session, coarse_cell_col, finish, load_query_points, load_rects
 from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
@@ -36,7 +36,7 @@ def main() -> None:
     spark = build_session("rtree-spark-knn", args)
     grid = Grid(args.grid_level, args.extent)
     data = load_rects(spark, args.input, args.format)
-    queries = spark.read.parquet(args.queries)
+    queries = load_query_points(spark, args.queries)
     if "k" not in queries.columns:
         if args.k is None:
             p.error("--k required when the queries table has no k column")

@@ -16,7 +16,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from jobs._common import base_parser, build_session, coarse_cell_col, finish, load_rects
+from jobs._common import base_parser, build_session, coarse_cell_col, finish, load_query_rects, load_rects
 from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
@@ -32,7 +32,7 @@ def main() -> None:
     spark = build_session("rtree-spark-range", args)
     grid = Grid(args.grid_level, args.extent)
     data = load_rects(spark, args.input, args.format)
-    queries = spark.read.parquet(args.queries)
+    queries = load_query_rects(spark, args.queries)
     hits = range_query(data, queries, grid)
     qcell = queries.select(
         "query_id",
