@@ -150,9 +150,15 @@ def _interleaved_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rtree_cpp_spark.sources.extract import spans_signature_col, with_rect
 
     docs = rects.interleaved_docs_a(spark, sf_dir)
+    # Engine-internal parse is float32 (reference parity, src/Main.cpp:67);
+    # the GATE output is cast to double because the oracle's rect columns
+    # are doubles and the driver's value canonicalization is dtype-
+    # sensitive (r1 gate: rows/schema matched, hash didn't).  Every value
+    # lies on the 0.25 lattice — exact in both widths — so the cast is
+    # value-preserving and proves nothing was lost in the float32 parse.
     return with_rect(docs).select(
         "doc_id",
-        "min_x", "min_y", "max_x", "max_y",
+        *[F.col(c).cast("double").alias(c) for c in ("min_x", "min_y", "max_x", "max_y")],
         spans_signature_col(F.col("spans")).alias("sig"),
     )
 

@@ -48,10 +48,12 @@ def load_data(spark: SparkSession, path: str) -> DataFrame:
         x1.alias("min_x"), y1.alias("min_y"), x2.alias("max_x"), y2.alias("max_y"),
     )
     bad = F.col("min_x").isNull() | F.col("min_y").isNull() | F.col("max_x").isNull() | F.col("max_y").isNull()
-    return out.withColumn(
-        "min_x",
-        F.when(bad, F.raise_error(F.concat(F.lit("malformed dataset line "), F.col("doc_id"))))
-        .otherwise(F.col("min_x")),
+    # Guard EVERY rect column: a consumer whose plan prunes all but one
+    # column must still hit the fail-fast (mirrors exit(0), Main.cpp:73-74).
+    err = F.raise_error(F.concat(F.lit("malformed dataset line "), F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        *[F.when(bad, err).otherwise(F.col(c)).alias(c) for c in ("min_x", "min_y", "max_x", "max_y")],
     )
 
 

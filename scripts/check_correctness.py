@@ -85,6 +85,13 @@ def main():
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
+            # The driver's value canonicalization is dtype-sensitive and
+            # every DuckDB oracle emits float64 — a float32 gate column
+            # hash-mismatches even on identical values (r1: interleaved_
+            # extract).  Catch it locally.
+            f32 = [f.name for f in df.schema.fields if f.dataType.simpleString() == "float"]
+            if f32 and name in oracles:
+                print(f"{name:24s} FLOAT32_COLS {f32} — will hash-mismatch vs double oracle")
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:300]}
