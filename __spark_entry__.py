@@ -516,6 +516,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
             "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
         ),
+        # checksum = sum(utf-8 payload bytes) mod 2^31 (the mapInPandas
+        # kernel's pure-integer arithmetic).  The synthetic corpus is
+        # ASCII, so per-char ascii() == per-byte value.
+        "multimodal_features": (
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(generate_series(1, length(text)), "
+            "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
+            "(acc, c) -> acc + c) % 2147483648 AS checksum FROM documents"
+        ),
         "multimodal_resize": (
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "
             "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
@@ -568,6 +579,4 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
-        # multimodal_features intentionally has no oracle: the checksum is a
-        # mapInPandas kernel (rows-only check; exactness covered in pytest)
     }
