@@ -22,6 +22,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 MANIFEST_SCHEMA = (
     "run_id string, stage string, partition_key long, status string, "
@@ -70,34 +71,48 @@ def resumable_write(
     crash for the resume test.
 
     Returns {written_keys, skipped_keys, output_rows}.
+
+    The upstream plan executes exactly ONCE: ``df`` is persisted and
+    materialized by a single per-key count aggregation (which also yields
+    the key list and all manifest row counts), so every batch write is a
+    scan of the cache, not a re-execution of the upstream job (at scale
+    the upstream is the salted spatial join — re-running it per batch
+    would multiply the dominant stage by the batch count).  The key list
+    is driver-resident by design: keys are coarse lineage cells, bounded
+    by the coarse grid (≤ 4^coarse_level ≤ 4096), never data rows.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    all_keys = sorted(r[0] for r in df.select(key_col).distinct().collect())
-    done = set(done_keys(spark, manifest_path, run_id, stage))
-    pending = [k for k in all_keys if k not in done]
-    written, out_rows = [], 0
-    batches = [pending[i : i + keys_per_batch] for i in range(0, len(pending), keys_per_batch)]
-    for bi, batch in enumerate(batches):
-        if fail_after_batches is not None and bi >= fail_after_batches:
-            raise RuntimeError(f"injected failure before batch {bi} (resume test)")
-        t0 = time.perf_counter()
-        part = df.where(F.col(key_col).isin(batch))
-        part.write.mode("overwrite").partitionBy(key_col).parquet(out_path)
-        counts = {r[0]: r[1] for r in part.groupBy(key_col).count().collect()}
-        wall = int((time.perf_counter() - t0) * 1000)
-        now = time.time()
-        append_manifest(
-            spark,
-            manifest_path,
-            [
-                (run_id, stage, int(k), "done", int(counts.get(k, 0)), wall, 1, now)
-                for k in batch
-            ],
-        )
-        written.extend(batch)
-        out_rows += sum(counts.values())
-    return {"written_keys": written, "skipped_keys": sorted(done), "output_rows": out_rows}
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()}
+        all_keys = sorted(counts)
+        done = set(done_keys(spark, manifest_path, run_id, stage))
+        pending = [k for k in all_keys if k not in done]
+        written, out_rows = [], 0
+        batches = [pending[i : i + keys_per_batch] for i in range(0, len(pending), keys_per_batch)]
+        for bi, batch in enumerate(batches):
+            if fail_after_batches is not None and bi >= fail_after_batches:
+                raise RuntimeError(f"injected failure before batch {bi} (resume test)")
+            t0 = time.perf_counter()
+            df.where(F.col(key_col).isin(batch)).write.mode("overwrite").partitionBy(
+                key_col
+            ).parquet(out_path)
+            wall = int((time.perf_counter() - t0) * 1000)
+            now = time.time()
+            append_manifest(
+                spark,
+                manifest_path,
+                [
+                    (run_id, stage, int(k), "done", int(counts.get(k, 0)), wall, 1, now)
+                    for k in batch
+                ],
+            )
+            written.extend(batch)
+            out_rows += sum(counts.get(k, 0) for k in batch)
+        return {"written_keys": written, "skipped_keys": sorted(done), "output_rows": out_rows}
+    finally:
+        df.unpersist(blocking=False)
 
 
 def new_run_id() -> str:

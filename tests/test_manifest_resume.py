@@ -45,6 +45,35 @@ def test_resume_after_crash(spark, tiles_df, tmp_path):
     assert got["cell"].tolist() == exp["cell"].tolist()
 
 
+def test_upstream_executes_once(spark, tmp_path):
+    """The upstream plan must run ONCE total, not once per key batch
+    (at scale the upstream is the salted spatial join — per-batch
+    re-execution multiplies the dominant stage by the batch count).
+    An accumulator inside a pandas_udf upstream counts row evaluations."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    n = 256
+    base = spark.range(n).select(
+        (F.col("id") % 8).alias("cell"), tick(F.col("id")).alias("doc_id")
+    )
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    res = manifest.resumable_write(base, out, "cell", man, "run4", "t", keys_per_batch=2)
+    assert res["output_rows"] == n
+    assert len(res["written_keys"]) == 8  # 4 batches of 2 keys
+    # exactly one evaluation per row: the count agg materialized the cache
+    # and every batch write scanned it (no per-batch upstream replay)
+    assert acc.value == n
+
+
 def test_rerun_is_noop(spark, tiles_df, tmp_path):
     out = str(tmp_path / "out")
     man = str(tmp_path / "manifest")
