@@ -19,13 +19,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
-from rtree_cpp_spark.functions.geometry import intersects_col
+from rtree_cpp_spark.functions.geometry import contains_col, intersects_col
 from rtree_cpp_spark.operators.cover import ref_point_cell_col, with_cover_cells
 
 
 def range_query(data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast_queries: bool = True) -> DataFrame:
     """data_rects(doc_id, min_x..max_y) x queries(query_id, min_x..max_y)
-    → (query_id, doc_id), closed-interval semantics, each pair once."""
+    → (query_id, doc_id), closed-interval semantics, each pair once.
+
+    Containment fast-path (reference R2, RTreeBulkLoad.cpp:158-164 +
+    getLeafs :127-137): each query cover cell is classified ONCE on the
+    tiny broadcast side — a cell whose closed box lies fully inside the
+    query is *interior*, and every candidate met there is a hit by
+    construction (the doc's cover guarantees it touches the closed cell
+    box, which the query contains), so the per-candidate exact predicate
+    short-circuits to a precomputed boolean.  Exactly the reference's
+    "query contains node MBR → emit whole subtree" re-expressed per cell.
+    Correctness-neutral; assumes geometry intersects the grid domain (the
+    Grid clamping contract — a rect wholly outside the domain could alias
+    onto edge cells it does not touch)."""
     q = queries.select(
         "query_id",
         F.col("min_x").alias("q_min_x"),
@@ -34,6 +46,14 @@ def range_query(data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast
         F.col("max_y").alias("q_max_y"),
     )
     q_cells = with_cover_cells(q, grid, prefix="q_")
+    s, n = grid.cell_size, grid.n
+    cy = F.pmod(F.col("cell"), F.lit(n))
+    cx = ((F.col("cell") - cy) / F.lit(n)).cast("long")
+    interior = contains_col(
+        F.col("q_min_x"), F.col("q_min_y"), F.col("q_max_x"), F.col("q_max_y"),
+        cx * F.lit(s), cy * F.lit(s), (cx + 1) * F.lit(s), (cy + 1) * F.lit(s),
+    )
+    q_cells = q_cells.withColumn("q_interior", interior)
     if broadcast_queries:
         q_cells = F.broadcast(q_cells)
     d_cells = with_cover_cells(data_rects, grid)
@@ -46,7 +66,7 @@ def range_query(data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast
     )
     return (
         d_cells.join(q_cells, "cell")
-        .where(hit & (F.col("cell") == ref_cell))
+        .where((F.col("cell") == ref_cell) & (F.col("q_interior") | hit))
         .select("query_id", "doc_id")
     )
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
-from rtree_cpp_spark.functions.geometry import intersects_col
+from rtree_cpp_spark.functions.geometry import contains_col, intersects_col
 from rtree_cpp_spark.operators.cover import ref_point_cell_col, with_cover_cells
 
 
@@ -53,6 +53,19 @@ def _b_side(b_rects: DataFrame, grid: Grid) -> DataFrame:
 
 
 def _refine(joined: DataFrame, grid: Grid, keep_cell: bool = False) -> DataFrame:
+    # Containment fast-path (reference R2 analog, RTreeBulkLoad.cpp:
+    # 158-164): if either rect contains the shared cell's closed box, the
+    # other rect — which touches that box by cover construction — must
+    # intersect it; the exact predicate short-circuits.  Correctness-
+    # neutral (same caveat as range_query: geometry must intersect the
+    # grid domain, the Grid clamping contract).
+    s, n = grid.cell_size, grid.n
+    cy = F.pmod(F.col("cell"), F.lit(n))
+    cx = ((F.col("cell") - cy) / F.lit(n)).cast("long")
+    box = (cx * F.lit(s), cy * F.lit(s), (cx + 1) * F.lit(s), (cy + 1) * F.lit(s))
+    a_covers_cell = contains_col(
+        F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"), *box
+    )
     hit = intersects_col(
         F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"),
         F.col("b_min_x"), F.col("b_min_y"), F.col("b_max_x"), F.col("b_max_y"),
@@ -61,7 +74,7 @@ def _refine(joined: DataFrame, grid: Grid, keep_cell: bool = False) -> DataFrame
         grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
     )
     out_cols = ["a_doc_id", "b_doc_id"] + (["cell"] if keep_cell else [])
-    return joined.where(hit & (F.col("cell") == ref_cell)).select(*out_cols)
+    return joined.where((F.col("cell") == ref_cell) & (a_covers_cell | hit)).select(*out_cols)
 
 
 def spatial_join(
