@@ -99,6 +99,8 @@ def knn(
     """
     if ranker not in ("window", "kernel"):
         raise ValueError(f"ranker must be 'window' or 'kernel', got {ranker!r}")
+    import pandas as pd
+
     spark = data_rects.sparkSession
     d = with_cover_cells(data_rects, grid).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -110,7 +112,12 @@ def knn(
         qp["rho"] = initial_radius
         open_mask = np.ones(len(qp), dtype=bool)
         s, n = grid.cell_size, grid.n
-        results: list[DataFrame] = []
+        # Finished queries' top-k rows come BACK TO THE DRIVER each round:
+        # they are <= k x |queries| rows (the query batch is driver-
+        # resident by design, like the reference's query file), so a
+        # round's candidate join executes exactly once — no lazy union
+        # that would replay every round's join at the final action.
+        parts: list[pd.DataFrame] = []
 
         while open_mask.any():
             sub = qp.loc[open_mask, ["query_id", "x", "y", "k", "qcx", "qcy", "rho"]]
@@ -139,12 +146,12 @@ def knn(
                     .groupBy("query_id")
                     .applyInPandas(_topk_kernel, KNN_SCHEMA)
                 )
-            stats = {
-                r["query_id"]: (r["cnt"], r["kth"])
-                for r in ranked.groupBy("query_id")
-                .agg(F.count("*").alias("cnt"), F.max("sq_dist").alias("kth"))
-                .collect()
-            }
+            # ONE action per round: the ranked top-k is small, and both
+            # the stop-rule stats and the finished results come from it.
+            rank_pdf = ranked.toPandas()
+            grouped = rank_pdf.groupby("query_id")["sq_dist"]
+            cnts = grouped.size().to_dict()
+            kths = grouped.max().to_dict()
             done_ids = []
             for i in np.flatnonzero(open_mask):
                 qid = qp["query_id"].iat[i]
@@ -152,7 +159,7 @@ def knn(
                 qcx, qcy = int(qp["qcx"].iat[i]), int(qp["qcy"].iat[i])
                 x, y, k = float(qp["x"].iat[i]), float(qp["y"].iat[i]), int(qp["k"].iat[i])
                 full = qcx - rho <= 0 and qcx + rho >= n - 1 and qcy - rho <= 0 and qcy + rho >= n - 1
-                cnt, kth = stats.get(qid, (0, math.inf))
+                cnt, kth = cnts.get(qid, 0), kths.get(qid, math.inf)
                 d_out = min(
                     (x - (qcx - rho) * s) if qcx - rho > 0 else math.inf,
                     (((qcx + rho + 1) * s) - x) if qcx + rho < n - 1 else math.inf,
@@ -165,17 +172,12 @@ def knn(
                 else:
                     qp.loc[qp.index[i], "rho"] = rho * 2
             if done_ids:
-                results.append(ranked.where(F.col("query_id").isin(done_ids)))
+                parts.append(rank_pdf[rank_pdf["query_id"].isin(done_ids)])
 
-        if not results:
+        if not parts:
             return spark.createDataFrame([], KNN_SCHEMA)
-        out = results[0]
-        for r in results[1:]:
-            out = out.unionByName(r)
-        return out
+        return spark.createDataFrame(pd.concat(parts, ignore_index=True), KNN_SCHEMA)
     finally:
-        # lazily consumed unions re-read the persisted cover; Spark keeps
-        # the data alive until the plan is executed, so defer unpersist.
         d.unpersist(blocking=False)
 
 

@@ -80,6 +80,28 @@ def test_knn_vs_brute(spark, rects_a_df, rects_a_pdf, grid):
     assert_same_rows(got, exp)
 
 
+def test_knn_many_rounds_far_queries(spark, rects_a_pdf):
+    """Far-from-data query points force many disk-doubling rounds (the
+    data sits in a corner 1/32 the domain, queries in the opposite
+    corner).  Exactness must hold across all rounds — the regression
+    guard for the per-round driver-collect design (no round replay)."""
+    grid = Grid(6)
+    pdf = rects_a_pdf.copy()
+    for c in ("min_x", "min_y", "max_x", "max_y"):
+        pdf[c] = pdf[c] / 32.0  # exact binary scaling; data now in [0, 33)^2
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"F{i}" for i in range(5)],
+            "x": [1000.0, 990.0, 1010.0, 960.0, 1023.0],
+            "y": [1000.0, 1010.0, 980.0, 1023.0, 940.0],
+            "k": [3, 5, 1, 7, 64],
+        }
+    )
+    got = knn(spark.createDataFrame(pdf), spark.createDataFrame(qpdf), grid)
+    exp = brute.knn_brute(pdf, qpdf, dtype=np.float64)
+    assert_same_rows(got, exp)
+
+
 def test_knn_k_larger_than_dataset(spark, rects_a_df, rects_a_pdf):
     qpdf = pd.DataFrame({"query_id": ["K0"], "x": [512.0], "y": [512.0], "k": [10_000]})
     got = knn(rects_a_df, spark.createDataFrame(qpdf), Grid(6)).toPandas()
