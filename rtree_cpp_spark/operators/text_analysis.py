@@ -8,8 +8,11 @@ of integers — bit-identical across Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # tiny function-word list for the ratio heuristic (the synthetic corpus
 # shares one vocabulary across lang labels, so this is an operator
@@ -73,18 +76,67 @@ ROLL_B = 31
 ROLL_P = 2147483647  # 2^31 - 1; h*31 + c < 2^36 — exact in int64
 
 
-def rolling_hash(docs: DataFrame) -> DataFrame:
+def _rolling_hash_np(texts) -> np.ndarray:
+    """Batch Horner fold h = (h*B + code) mod P, vectorized ACROSS the
+    batch: one masked column step per character position (max-doc-length
+    iterations of whole-batch numpy ops) instead of an interpreted
+    per-character lambda per document.  h*B + code < 2^36 — exact int64."""
+    codes = [
+        np.frombuffer(str(t).encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        for t in texts
+    ]
+    n = len(codes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(c) for c in codes), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    if max_len == 0:
+        return out
+    mat = np.zeros((n, max_len), dtype=np.int64)
+    for i, c in enumerate(codes):
+        mat[i, : len(c)] = c
+    for j in range(max_len):
+        active = j < lens
+        out[active] = (out[active] * ROLL_B + mat[active, j]) % ROLL_P
+    return out
+
+
+def _rolling_hash_udf():
+    # built lazily: pandas_udf type resolution needs an active session
+    @pandas_udf("long")
+    def roll(texts: pd.Series) -> pd.Series:
+        return pd.Series(_rolling_hash_np(texts.to_numpy()))
+
+    return roll
+
+
+def rolling_hash(docs: DataFrame, impl: str = "kernel") -> DataFrame:
     """(doc_id, roll_hash): polynomial rolling hash (Rabin-Karp) over the
     document's unicode code points — h = (h*31 + code) mod 2^31-1, left
     fold in character order.  Pure integer arithmetic, bit-identical in
     any engine; the windowed form of this hash is the shingle kernel a
-    rolling-fingerprint dedup uses at scale."""
-    chars = F.split(F.col("text"), "")
-    h = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * ROLL_B + F.ascii(c)) % ROLL_P,
-    )
+    rolling-fingerprint dedup uses at scale.
+
+    ``impl='expr'`` is the executable spec (JVM ``F.aggregate`` fold);
+    ``impl='kernel'`` is the Arrow-batched numpy twin (same values,
+    asserted by tests; the `dot_col`/`_fold_dot_udf` pattern from
+    similarity.py).  Measured honestly: the JVM fold is interpreted but
+    NOT slow (~1 G char-ops/s at local[32]); the kernel wins only ~1.2x
+    at 200k docs x 1k chars — kept as default for the margin and as the
+    plug-point for windowed (shingle) rolling fingerprints where the
+    per-position state makes numpy batching pay off."""
+    if impl == "expr":
+        chars = F.split(F.col("text"), "")
+        h = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLL_B + F.ascii(c)) % ROLL_P,
+        )
+    elif impl == "kernel":
+        h = _rolling_hash_udf()(F.col("text"))
+    else:
+        raise ValueError(f"impl must be 'expr' or 'kernel', got {impl!r}")
     return docs.select("doc_id", h.alias("roll_hash"))
 
 
