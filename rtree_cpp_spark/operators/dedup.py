@@ -158,23 +158,28 @@ def lsh_candidate_pairs(
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): signed-bit-sum signature over token hashes.
-    Bit j is 1 iff sum over token occurrences of ±1 (per hash bit j) >= 0."""
+    Bit j is 1 iff sum over token occurrences of ±1 (per hash bit j) >= 0.
+
+    Single-pass plan (the ``_minhash_wide`` pattern): each token row
+    feeds ``bits`` parallel conditional-sum aggregates in ONE
+    groupBy(doc_id) with map-side partials — no tokens x bits row
+    explosion and no second per-(doc, bit) shuffle."""
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-    h = _h64(F.col("token"))
-    bitted = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        h.alias("h"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("shiftrightunsigned(h, j)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-    )
-    per_bit = bitted.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
+    with_h = tok.select("doc_id", _h64(F.col("token")).alias("h"))
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = with_h.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
