@@ -53,6 +53,29 @@ def contains_col(
     )
 
 
+def equals_col(
+    a_min_x: Column, a_min_y: Column, a_max_x: Column, a_max_y: Column,
+    b_min_x: Column, b_min_y: Column, b_max_x: Column, b_max_y: Column,
+) -> Column:
+    """Coordinate-wise rect equality (reference P6, Rectangle.cpp:35-37)."""
+    return (
+        (a_min_x == b_min_x) & (a_min_y == b_min_y)
+        & (a_max_x == b_max_x) & (a_max_y == b_max_y)
+    )
+
+
+def edge_overlaps_col(
+    a_min_x: Column, a_min_y: Column, a_max_x: Column, a_max_y: Column,
+    b_min_x: Column, b_min_y: Column, b_max_x: Column, b_max_y: Column,
+) -> Column:
+    """Any one coordinate equal (reference P7, Rectangle.cpp:21-23 —
+    unused by any reference query path; provided for completeness)."""
+    return (
+        (a_min_x == b_min_x) | (a_min_y == b_min_y)
+        | (a_max_x == b_max_x) | (a_max_y == b_max_y)
+    )
+
+
 def sq_dist_col(px: Column, py: Column, min_x: Column, min_y: Column, max_x: Column, max_y: Column) -> Column:
     """Squared point→rect distance, 0 inside (reference Rectangle.h:92-112)."""
     dx = F.greatest(min_x - px, px - max_x, F.lit(0.0))

@@ -50,6 +50,28 @@ def test_point_in_rect_boundary_modes():
     assert geo.point_in_rect_np(5, 5, 0, 0, 10, 10, "open")[()]
 
 
+def test_equals_and_edge_overlaps(spark):
+    """P6/P7 (Rectangle.cpp:35-37, :21-23) — trivial exprs, completeness."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "ax0": [0.0, 0.0, 0.0], "ay0": [0.0, 0.0, 0.0],
+            "ax1": [10.0, 10.0, 10.0], "ay1": [10.0, 10.0, 10.0],
+            "bx0": [0.0, 0.0, 1.0], "by0": [0.0, 5.0, 1.0],
+            "bx1": [10.0, 10.0, 9.0], "by1": [10.0, 12.0, 9.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    args = [F.col(c) for c in ("ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1")]
+    got = df.select(
+        geo.equals_col(*args).alias("eq"), geo.edge_overlaps_col(*args).alias("ov")
+    ).toPandas()
+    assert got["eq"].tolist() == [True, False, False]   # only the identical pair
+    assert got["ov"].tolist() == [True, True, False]    # any one coord equal
+
+
 def test_column_exprs_match_numpy(spark):
     import pandas as pd
     from pyspark.sql import functions as F

@@ -1,0 +1,80 @@
+"""Text-analysis and dedup kernel twins: the Arrow/numpy hot-path
+implementations must agree value-for-value with their executable-spec
+Column-expression forms (which the DuckDB gate verifies independently)."""
+
+import hashlib
+import sys
+
+import pandas as pd
+import pytest
+
+from rtree_cpp_spark.operators import dedup, text_analysis
+
+
+@pytest.fixture(scope="module")
+def texts_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "a",
+                "",
+                "punctuation, matters! 123 456",
+                "repeat repeat repeat repeat",
+                "x " * 500 + "tail",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_rolling_hash_kernel_matches_expr(spark, texts_df):
+    got_k = text_analysis.rolling_hash(texts_df, impl="kernel").toPandas()
+    got_e = text_analysis.rolling_hash(texts_df, impl="expr").toPandas()
+    k = got_k.sort_values("doc_id")["roll_hash"].tolist()
+    e = got_e.sort_values("doc_id")["roll_hash"].tolist()
+    assert k == e
+    # spot-check the spec directly
+    h = 0
+    for ch in "a":
+        h = (h * text_analysis.ROLL_B + ord(ch)) % text_analysis.ROLL_P
+    assert k[1] == h
+
+
+def test_rolling_hash_bad_impl(texts_df):
+    with pytest.raises(ValueError, match="impl"):
+        text_analysis.rolling_hash(texts_df, impl="nope")
+
+
+def _h64_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_simhash_matches_brute(spark, texts_df):
+    got = dedup.simhash(texts_df).toPandas().set_index("doc_id")["simhash"].to_dict()
+    pdf = texts_df.toPandas()
+    for _, row in pdf.iterrows():
+        tokens = row["text"].split(" ")
+        sim = 0
+        for j in range(16):
+            s = sum(1 if (_h64_py(t) >> j) & 1 == 1 else -1 for t in tokens)
+            if s >= 0:
+                sim |= 1 << j
+        assert got[row["doc_id"]] == sim, row["text"][:40]
+
+
+def test_knn_job_rejects_nonpositive_k(monkeypatch):
+    """Mirrors the reference CLI's k validation (src/Main.cpp:212-215)."""
+    import jobs.run_knn as rk
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_knn.py", "--output", "/tmp/x", "--manifest", "/tmp/y",
+            "--input", "/tmp/a", "--queries", "/tmp/q", "--k", "0",
+        ],
+    )
+    with pytest.raises(SystemExit):
+        rk.main()
