@@ -9,9 +9,9 @@ minX order (Node.cpp:39-51) — and write a cell-keyed parquet/Iceberg
 table.  Queries then get partition pruning on `cell` for free (the
 distributed analog of MBR pruning, SURVEY.md O2).
 
-Iceberg note: the sandbox has no Iceberg runtime jar, so the writer
-targets parquet behind one interface; `writeTo(...).partitionedBy(...)`
-is a one-line swap when an Iceberg catalog is configured.
+Storage contract: parquet IS the contract (docs/STORAGE.md — single
+authoritative statement, incl. the 1:1 Iceberg mapping when a catalog
+exists).
 """
 
 from __future__ import annotations
@@ -106,6 +106,20 @@ def morton_col(grid: Grid, cell_col: F.Column) -> F.Column:
     return z
 
 
+def _with_layout_cols(rects: DataFrame, grid: Grid, coarse_levels_up: int) -> DataFrame:
+    """rects + (cell, coarse_cell, _z): the layout's derived key columns."""
+    cx, cy = center_cols(
+        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+    )
+    cell = grid.cell_of_point_col(cx, cy)
+    df = rects.withColumn("cell", cell).withColumn("_z", morton_col(grid, F.col("cell")))
+    up = coarse_levels_up
+    pcx = F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), grid.level), up)
+    pcy = F.shiftrightunsigned(F.col("cell").bitwiseAND(F.lit(grid.n - 1)), up)
+    return df.withColumn("coarse_cell", pcx * F.lit(grid.n >> up) + pcy)
+
+
 def write_layout(
     rects: DataFrame,
     path: str,
@@ -116,19 +130,7 @@ def write_layout(
     """Write the cell-keyed table: z-ordered range partitioning (spatial
     locality across files) + hive partition dirs on a coarse parent cell
     (partition pruning for queries touching few regions)."""
-    cx, cy = center_cols(
-        F.col("min_x").cast("double"), F.col("min_y").cast("double"),
-        F.col("max_x").cast("double"), F.col("max_y").cast("double"),
-    )
-    cell = grid.cell_of_point_col(cx, cy)
-    df = rects.withColumn("cell", cell).withColumn("_z", morton_col(grid, F.col("cell")))
-    coarse = F.shiftrightunsigned(F.col("cell"), coarse_levels_up).bitwiseAND(
-        F.lit(((1 << (grid.level - coarse_levels_up)) - 1))
-    )  # cx part; combine with cy part below
-    up = coarse_levels_up
-    pcx = F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), grid.level), up)
-    pcy = F.shiftrightunsigned(F.col("cell").bitwiseAND(F.lit(grid.n - 1)), up)
-    df = df.withColumn("coarse_cell", pcx * F.lit(grid.n >> up) + pcy)
+    df = _with_layout_cols(rects, grid, coarse_levels_up)
     parts = num_partitions or rects.sparkSession.sparkContext.defaultParallelism
     (
         df.repartitionByRange(parts, "_z")
@@ -142,6 +144,141 @@ def write_layout(
 
 def read_layout(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance — the distributed analog of the reference's
+# (dead-code) dynamic path: Node::deleteEntry / recalculateMBR
+# (Node.cpp:53-111, never called from Main.cpp).  Here the "node" is a
+# coarse-cell hive partition: updates/deletes rewrite ONLY the affected
+# partitions via dynamic partition overwrite; per-cell MBR stats are
+# derived columns, so the recalculateMBR analog is free on next read.
+# With an Iceberg catalog the same operations become transactional
+# rewrite-files commits; on plain parquet they are idempotent
+# partition-dir replacements (docs/STORAGE.md spells out the contract).
+# ---------------------------------------------------------------------------
+
+
+def _affected_partitions(df: DataFrame) -> list[int]:
+    """Coarse cells touched by a change set — driver-resident by design
+    (bounded by the coarse grid, <= 4^(level - coarse_levels_up))."""
+    return [r[0] for r in df.select("coarse_cell").distinct().collect()]
+
+
+def _fs(spark):
+    hadoop = spark._jvm.org.apache.hadoop.fs
+    return hadoop, hadoop.FileSystem.get(spark._jsc.hadoopConfiguration())
+
+
+def _rewrite_partitions(
+    spark, merged: DataFrame, path: str, affected: list[int], emptied: list[int]
+) -> None:
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.sortWithinPartitions("_z", "min_x")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("coarse_cell")
+        .parquet(path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition emptied by a delete writes zero rows and would
+    # keep its stale files, so drop those dirs explicitly (what an
+    # Iceberg delete-commit does transactionally).
+    hadoop, fs = _fs(spark)
+    for p in emptied:
+        fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
+
+
+def upsert_layout(
+    spark,
+    new_rects: DataFrame,
+    path: str,
+    grid: Grid,
+    coarse_levels_up: int = 3,
+) -> dict:
+    """Merge new/changed docs (keyed by ``doc_id``) into the layout.
+
+    Rows with a doc_id already present are REPLACED (new geometry wins);
+    unknown doc_ids are inserted.  Only the coarse-cell partitions the
+    new docs land in are rewritten.  A doc whose geometry moved ACROSS
+    coarse cells must be deleted from its old partition first
+    (``delete_from_layout`` with the old rows — the reference's
+    deleteEntry likewise takes the old entry, Node.cpp:53)."""
+    new_df = _with_layout_cols(new_rects, grid, coarse_levels_up)
+    affected = _affected_partitions(new_df)
+    cols = ["doc_id", "min_x", "min_y", "max_x", "max_y", "cell", "_z", "coarse_cell"]
+    existing = read_layout(spark, path).where(F.col("coarse_cell").isin(affected))
+    existing = existing.withColumn("_z", morton_col(grid, F.col("cell")))
+    keep = existing.join(new_df.select("doc_id").distinct(), "doc_id", "left_anti")
+    merged = keep.select(*cols).unionByName(new_df.select(*cols))
+    _rewrite_partitions(spark, merged, path, affected, emptied=[])
+    return {"affected_partitions": sorted(affected)}
+
+
+def delete_from_layout(
+    spark,
+    old_rects: DataFrame,
+    path: str,
+    grid: Grid,
+    coarse_levels_up: int = 3,
+) -> dict:
+    """Remove docs from the layout — deleteEntry's analog (Node.cpp:53-77).
+
+    Takes the docs' OLD rows (doc_id + geometry) so the affected coarse
+    partitions are computable without scanning the table, exactly as the
+    reference's deleteEntry receives the entry being removed.  Emptied
+    partitions have their directories dropped (an Iceberg delete commit
+    does this transactionally)."""
+    old_df = _with_layout_cols(old_rects, grid, coarse_levels_up)
+    affected = _affected_partitions(old_df)
+    cols = ["doc_id", "min_x", "min_y", "max_x", "max_y", "cell", "_z", "coarse_cell"]
+    existing = read_layout(spark, path).where(F.col("coarse_cell").isin(affected))
+    existing = existing.withColumn("_z", morton_col(grid, F.col("cell")))
+    keep = existing.join(old_df.select("doc_id").distinct(), "doc_id", "left_anti").select(*cols)
+    remaining = {r[0] for r in keep.select("coarse_cell").distinct().collect()}
+    emptied = [p for p in affected if p not in remaining]
+    _rewrite_partitions(spark, keep, path, [p for p in affected if p in remaining], emptied)
+    return {"affected_partitions": sorted(affected), "emptied_partitions": sorted(emptied)}
+
+
+def maybe_retile(
+    spark,
+    path: str,
+    grid: Grid,
+    target: float = TARGET_OCCUPANCY,
+    band: float = 4.0,
+    levels: list[int] | None = None,
+    sample_fraction: float = 1.0,
+    coarse_levels_up: int = 3,
+) -> Grid:
+    """Density-drift re-tiling — the STR rebuild analog.
+
+    After enough upserts/deletes the chosen resolution drifts away from
+    the reference's target occupancy (capacity 64, src/Main.cpp:192).
+    If the current median occupancy leaves [target/band, target*band],
+    re-pick the resolution with the same density heuristic and rewrite
+    the layout through a staging dir + atomic-ish swap (read and
+    overwrite of the same path in one job is unsafe in Spark).  Returns
+    the grid now in effect; callers persist it in the run manifest."""
+    rects = read_layout(spark, path).select("doc_id", "min_x", "min_y", "max_x", "max_y")
+    occ = median_occupancy_by_level(
+        rects, [grid.level], sample_fraction=sample_fraction, extent=grid.extent
+    )[grid.level]
+    if target / band <= occ <= target * band:
+        return grid
+    new_grid = choose_grid(
+        rects, levels=levels, target=target,
+        sample_fraction=sample_fraction, extent=grid.extent,
+    )
+    if new_grid.level == grid.level:
+        return grid
+    staging = f"{path}__retiling"
+    write_layout(rects, staging, new_grid, coarse_levels_up=coarse_levels_up)
+    hadoop, fs = _fs(spark)
+    fs.delete(hadoop.Path(path), True)
+    fs.rename(hadoop.Path(staging), hadoop.Path(path))
+    return new_grid
 
 
 def write_bucketed(

@@ -159,24 +159,6 @@ def synth_docs_pdf(
     return pd.DataFrame({"doc_id": doc_ids, "spans": spans_col})
 
 
-def synth_docs_df(spark: SparkSession, prefix: str, n: int, seed: int = 42, num_partitions: int | None = None) -> DataFrame:
-    """Distributed generator: spark.range + mapInPandas over the same pure
-    per-index function — identical rows at any parallelism level."""
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            if len(ids) == 0:
-                continue
-            # indices need not be contiguous per batch; synth per exact ids
-            out = synth_docs_pdf(prefix, 0, seed)  # empty frame w/ columns
-            chunks = [synth_docs_pdf(prefix, 1, seed, start=int(i)) for i in ids] or [out]
-            yield pd.concat(chunks, ignore_index=True)
-
-    rng = spark.range(0, n, numPartitions=num_partitions)
-    return rng.mapInPandas(gen, schema=DOC_SCHEMA)
-
-
 def synth_docs_df_fast(
     spark: SparkSession,
     prefix: str,
@@ -187,7 +169,9 @@ def synth_docs_df_fast(
     cluster_diam: float = _CLUSTER_DIAM,
     max_dim: float = 16.0,
 ) -> DataFrame:
-    """Same as synth_docs_df but vectorized per Arrow batch (bench path)."""
+    """Distributed generator: spark.range + mapInPandas over the same pure
+    per-index function — identical rows at any parallelism level,
+    vectorized per Arrow batch (contiguous id runs synth in one call)."""
 
     def gen(batches):
         for pdf in batches:

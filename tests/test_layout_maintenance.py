@@ -1,0 +1,116 @@
+"""Incremental layout maintenance: upsert / delete / density re-tiling
+(the distributed analog of the reference's dead-code dynamic path,
+Node.cpp:53-111) — partition-local rewrites only."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rtree_cpp_spark.functions.cells import Grid
+from rtree_cpp_spark.plans import layout
+
+GRID = Grid(6)
+
+
+@pytest.fixture()
+def table(spark, rects_a_pdf, tmp_path):
+    path = str(tmp_path / "tbl")
+    layout.write_layout(spark.createDataFrame(rects_a_pdf), path, GRID)
+    return path
+
+
+def _part_files(path: str) -> dict[str, set]:
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("coarse_cell="):
+            out[d] = set(os.listdir(os.path.join(path, d)))
+    return out
+
+
+def test_upsert_replaces_and_inserts(spark, rects_a_pdf, table):
+    mod = rects_a_pdf.head(5).copy()
+    # expand symmetrically: centers (and thus cells) unchanged, geometry changed
+    mod["min_x"] -= 0.25
+    mod["max_x"] += 0.25
+    new = pd.DataFrame(
+        {
+            "doc_id": ["N1", "N2", "N3"],
+            "min_x": [1.0, 500.0, 900.0],
+            "min_y": [1.0, 500.0, 900.0],
+            "max_x": [2.0, 501.0, 901.0],
+            "max_y": [2.0, 501.0, 901.0],
+        }
+    )
+    changes = pd.concat([mod, new], ignore_index=True)
+    before = _part_files(table)
+    res = layout.upsert_layout(spark, spark.createDataFrame(changes), table, GRID)
+    after = _part_files(table)
+
+    got = layout.read_layout(spark, table).toPandas()
+    assert len(got) == len(rects_a_pdf) + 3
+    assert got["doc_id"].is_unique
+    # replaced geometry is the new one
+    g5 = got.set_index("doc_id").loc[mod["doc_id"]]
+    assert (g5["min_x"].to_numpy() == mod.set_index("doc_id")["min_x"].to_numpy()).all()
+    # only the affected coarse partitions were rewritten
+    affected_dirs = {f"coarse_cell={p}" for p in res["affected_partitions"]}
+    for d, files in before.items():
+        if d not in affected_dirs:
+            assert after[d] == files, f"untouched partition {d} was rewritten"
+
+
+def test_delete_and_emptied_partition(spark, rects_a_pdf, table):
+    full = layout.read_layout(spark, table).toPandas()
+    # wipe one entire coarse partition + a few docs elsewhere
+    victim_part = int(full["coarse_cell"].mode()[0])
+    whole_part = full[full["coarse_cell"] == victim_part]
+    others = full[full["coarse_cell"] != victim_part].head(4)
+    to_del = pd.concat([whole_part, others])[
+        ["doc_id", "min_x", "min_y", "max_x", "max_y"]
+    ]
+    res = layout.delete_from_layout(spark, spark.createDataFrame(to_del), table, GRID)
+    assert victim_part in res["emptied_partitions"]
+    got = layout.read_layout(spark, table).toPandas()
+    assert len(got) == len(full) - len(to_del)
+    assert not set(to_del["doc_id"]) & set(got["doc_id"])
+    assert not os.path.exists(os.path.join(table, f"coarse_cell={victim_part}"))
+
+
+def test_upsert_then_query_consistency(spark, rects_a_pdf, table):
+    """After maintenance the layout still answers queries correctly."""
+    new = pd.DataFrame(
+        {
+            "doc_id": ["Q1"],
+            "min_x": [100.0], "min_y": [100.0], "max_x": [101.0], "max_y": [101.0],
+        }
+    )
+    layout.upsert_layout(spark, spark.createDataFrame(new), table, GRID)
+    from rtree_cpp_spark.operators.range_query import range_query
+
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": ["R"], "min_x": [99.0], "min_y": [99.0], "max_x": [102.0], "max_y": [102.0]}
+        )
+    )
+    data = layout.read_layout(spark, table).select(
+        "doc_id", "min_x", "min_y", "max_x", "max_y"
+    )
+    hits = range_query(data, q, GRID).toPandas()
+    assert "Q1" in set(hits["doc_id"])
+
+
+def test_maybe_retile_on_drift(spark, rects_a_pdf, tmp_path):
+    path = str(tmp_path / "fine")
+    fine = Grid(8)
+    layout.write_layout(spark.createDataFrame(rects_a_pdf), path, fine)
+    # 400 docs over a 256x256 grid: median occupancy ~1 << target/band
+    g2 = layout.maybe_retile(spark, path, fine, levels=[2, 3, 4, 5, 6, 7, 8])
+    assert g2.level < fine.level
+    got = layout.read_layout(spark, path).toPandas()
+    assert sorted(got["doc_id"]) == sorted(rects_a_pdf["doc_id"])
+    # within band now: a second call is a no-op returning the same grid
+    g3 = layout.maybe_retile(spark, path, g2, levels=[2, 3, 4, 5, 6, 7, 8])
+    assert g3.level == g2.level
