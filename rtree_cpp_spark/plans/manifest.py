@@ -11,8 +11,8 @@ wall_ms, attempt, finished_at.  A resumable stage:
      overwrites it),
   4. appends 'done' manifest rows with row counts.
 
-Storage is parquet (append-only); the same interface maps onto an
-Iceberg manifest table (`writeTo(...).append()`) when a catalog exists.
+Storage is parquet (append-only) per the storage contract in
+docs/STORAGE.md (which also gives the 1:1 Iceberg mapping).
 """
 
 from __future__ import annotations
