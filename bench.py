@@ -57,6 +57,8 @@ def main() -> None:
         "spatial_range",
         "spatial_knn",
         "spatial_knn_kernel",
+        "spatial_knn_join",
+        "spatial_contains",
         "spatial_pip",
         "interleaved_join_spans",
         "tiles_cover",
@@ -112,18 +114,26 @@ def main() -> None:
         "rows": rows,
         "join_tiling_docs_per_sec": round(join_tiles_rows / max(join_tiles_wall, 1e-9), 1),
         "cpus": cpus,
-        # two-parallelism-level evidence measured by scripts/scaling_bench.py
-        # (full attempt lists + hardware-control attribution in BENCH/BASELINE.md)
-        "scaling": {
-            "lo_cpus": 2, "hi_cpus": 8,
-            "wall_efficiency": 0.63,
-            "engine_limited_efficiency": 0.78,
-            "note": "VM provides ~20 effective cores of 32 advertised; see BENCH/BASELINE.md",
-        },
         "spark_version": spark.version,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
     }
+    # Two-parallelism-level evidence: embed the LATEST scaling_bench.py
+    # measurement (never constants — they'd silently go stale).  Full
+    # attempt lists + hardware attribution live in BENCH/BASELINE.md.
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling_latest.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            "lo_cpus": s["lo_cpus"], "hi_cpus": s["hi_cpus"],
+            "wall_efficiency": s["value"],
+            "engine_limited_efficiency": s.get("engine_limited_efficiency"),
+            "input_docs": s["docs_a"] + s["docs_b"],
+            "note": "measured by scripts/scaling_bench.py; see BENCH/BASELINE.md",
+        }
+
     print(json.dumps(out))
     spark.stop()
 
