@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
 from rtree_cpp_spark.operators import dedup, events, multimodal, similarity, text_analysis
-from rtree_cpp_spark.operators.knn import knn, knn_kernel
+from rtree_cpp_spark.operators.knn import knn, knn_join, knn_kernel
 from rtree_cpp_spark.operators.pip_join import pip_join
-from rtree_cpp_spark.operators.range_query import range_count, range_query
+from rtree_cpp_spark.operators.range_query import contains_query, range_count, range_query
 from rtree_cpp_spark.operators.spatial_join import spatial_join, spatial_join_salted
 from rtree_cpp_spark.operators.tiles import primary_tiles, tile_stats
 from rtree_cpp_spark.operators.tiles import cover_tiles
@@ -35,6 +35,7 @@ from rtree_cpp_spark.sources.rects import (
     QUERIES_KNN_SQL,
     QUERIES_RANGE_SQL,
     RECTS_A_SQL,
+    RECTS_A_SUBSET_SQL,
     RECTS_B_SQL,
 )
 
@@ -93,6 +94,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "spatial_knn": lambda s, d: knn(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
         "spatial_knn_kernel": lambda s, d: knn_kernel(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
+        "spatial_knn_join": lambda s, d: knn_join(
+            rects.rects_a_subset(s, d), rects.rects_b(s, d), GRID, k=5
+        ),
+        "spatial_contains": lambda s, d: contains_query(
+            rects.rects_a(s, d), rects.queries_range(s, d), GRID
+        ),
         "spatial_pip": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "closed"),
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
         "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
@@ -111,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_embeddings(s, d), n_queries=20, k=5, n_planes=4),
         "ann_ivf_assign": lambda s, d: similarity.ivf_assign(_embeddings(s, d), n_centroids=16),
+        "ann_ivf_train": lambda s, d: similarity.ivf_train(_embeddings(s, d), n_centroids=16, n_iters=2),
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _embeddings(s, d), n_queries=20, k=5, n_centroids=16, n_probe=4
         ),
@@ -270,6 +278,17 @@ def oracle_sql() -> dict[str, str]:
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq_dist, doc_id) AS rnk FROM scored) "
         'SELECT query_id, doc_id, sq_dist, CAST(rnk AS INT) AS "rank" FROM ranked WHERE rnk <= k'
     )
+    # kNN join: A-subset centroids (reference centroid rule, Main.cpp:
+    # 126-129) vs the B set; same sq-dist/tie-break arithmetic as knn_sql
+    knn_join_sql = (
+        f"WITH r AS ({RECTS_B_SQL}), q0 AS ({RECTS_A_SUBSET_SQL}), "
+        "q AS (SELECT doc_id AS query_id, (min_x + max_x) / 2e0 AS x, "
+        "(min_y + max_y) / 2e0 AS y FROM q0), "
+        f"scored AS (SELECT q.query_id, r.doc_id, {_SQDIST} AS sq_dist FROM q CROSS JOIN r), "
+        "ranked AS (SELECT query_id, doc_id, sq_dist, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq_dist, doc_id) AS rnk FROM scored) "
+        'SELECT query_id, doc_id, sq_dist, CAST(rnk AS INT) AS "rank" FROM ranked WHERE rnk <= 5'
+    )
     # MinHash: one md5 per shingle, 32 universal hashes (A*h+B)%P — the
     # exact arithmetic/constants of rtree_cpp_spark.operators.dedup.
     mh_p = dedup.MINHASH_P
@@ -392,6 +411,37 @@ def oracle_sql() -> dict[str, str]:
         'SELECT query_vec_id, neighbor_vec_id, cos_sim, CAST(rnk AS INT) AS "rank" '
         "FROM ranked WHERE rnk <= 5"
     )
+    # k-means (Lloyd) refinement, n_iters unrolled: fixed-point sums
+    # (floor(v*2^30) int64) make the per-cluster mean order-independent,
+    # so both engines produce bit-identical double centroids.
+    def _ivf_train_sql(n_centroids: int = 16, n_iters: int = 2) -> str:
+        ctes = [
+            "e AS (SELECT vec_id, embedding FROM embeddings)",
+            "x AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM e)",
+            f"c0 AS (SELECT vec_id AS cent_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) "
+            f"AS c_emb FROM e WHERE vec_id < {n_centroids})",
+        ]
+        for it in range(n_iters):
+            c, nc = f"c{it}", f"c{it + 1}"
+            ctes += [
+                f"a{it} AS (SELECT vec_id, cent_id FROM (SELECT a.vec_id, c.cent_id, "
+                "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+                + _SQDIFF_DUCK.format(a="a.embedding", b="c.c_emb")
+                + f", c.cent_id) AS rn FROM e a CROSS JOIN {c} c) WHERE rn = 1)",
+                f"p{it} AS (SELECT a{it}.cent_id, x.pos, "
+                "CAST(FLOOR(CAST(x.embedding[CAST(x.pos AS INT)] AS DOUBLE) * 1073741824e0) AS BIGINT) AS q "
+                f"FROM x JOIN a{it} USING (vec_id))",
+                f"m{it} AS (SELECT cent_id, pos, CAST(SUM(q) AS DOUBLE) / "
+                f"(CAST(COUNT(*) AS DOUBLE) * 1073741824e0) AS v FROM p{it} GROUP BY cent_id, pos)",
+                f"n{it} AS (SELECT cent_id, list(v ORDER BY pos) AS c_emb FROM m{it} GROUP BY cent_id)",
+                f"{nc} AS (SELECT {c}.cent_id, COALESCE(n{it}.c_emb, {c}.c_emb) AS c_emb "
+                f"FROM {c} LEFT JOIN n{it} USING (cent_id))",
+            ]
+        return (
+            "WITH " + ", ".join(ctes)
+            + f" SELECT cent_id, c_emb AS centroid FROM c{n_iters}"
+        )
+
     neardup_sql = (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
         "p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, "
@@ -421,6 +471,13 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_salted": join_sql,
         "spatial_knn": knn_sql,
         "spatial_knn_kernel": knn_sql,
+        "spatial_knn_join": knn_join_sql,
+        "spatial_contains": (
+            f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
+            "SELECT q.query_id, a.doc_id FROM q JOIN a "
+            "ON q.max_x >= a.max_x AND q.min_x <= a.min_x "
+            "AND q.max_y >= a.max_y AND q.min_y <= a.min_y"
+        ),
         "spatial_pip": (
             f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
             "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
@@ -479,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": lsh_topk_sql,
         "ann_ivf_assign": ivf_assign_sql,
         "ann_ivf_topk": ivf_topk_sql,
+        "ann_ivf_train": _ivf_train_sql(),
         "dedup_embedding": neardup_sql,
         "text_token_stats": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "

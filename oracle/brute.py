@@ -54,6 +54,21 @@ def knn_brute(rects: pd.DataFrame, queries: pd.DataFrame, dtype=np.float32) -> p
     return pd.DataFrame(rows, columns=["query_id", "doc_id", "sq_dist", "rank"])
 
 
+def contains_brute(rects: pd.DataFrame, queries: pd.DataFrame, dtype=np.float32) -> pd.DataFrame:
+    """All (query_id, doc_id) where the query CONTAINS the doc (closed,
+    reference P3 Rectangle.h:74-77 — equal rects contain)."""
+    rx0, ry0, rx1, ry1 = _rect_arrays(rects, dtype)
+    qx0, qy0, qx1, qy1 = _rect_arrays(queries, dtype)
+    out_q, out_d = [], []
+    doc_ids = rects["doc_id"].to_numpy()
+    for i in range(len(queries)):
+        m = (qx1[i] >= rx1) & (qx0[i] <= rx0) & (qy1[i] >= ry1) & (qy0[i] <= ry0)
+        hits = doc_ids[m]
+        out_q.extend([queries["query_id"].iat[i]] * len(hits))
+        out_d.extend(hits)
+    return pd.DataFrame({"query_id": out_q, "doc_id": out_d})
+
+
 def join_brute(a: pd.DataFrame, b: pd.DataFrame, dtype=np.float32) -> pd.DataFrame:
     """Directed A→B intersection pairs, each exactly once."""
     ax0, ay0, ax1, ay1 = _rect_arrays(a, dtype)

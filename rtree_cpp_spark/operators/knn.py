@@ -187,3 +187,30 @@ def knn_kernel(
     """kNN with the applyInPandas bounded-priority-queue ranker
     (north_star shape); results identical to :func:`knn`."""
     return knn(data_rects, queries, grid, initial_radius, ranker="kernel")
+
+
+def knn_join(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    k: int,
+    initial_radius: int = 1,
+    ranker: str = "window",
+) -> DataFrame:
+    """kNN JOIN: for each A doc, its k nearest B docs by squared
+    centroid→rect distance → (query_id=a_doc_id, doc_id=b_doc_id,
+    sq_dist, rank).
+
+    Composes the reference's centroid rule (a query rect collapses to
+    its center, src/Main.cpp:126-129) with the batched disk-doubling
+    kernel — A plays the query file, B the dataset.  The A batch is
+    collected to the driver like any query batch; suitable for the
+    reference-style regimes (|A| up to ~10^5 driver-resident queries);
+    beyond that, shard A and run batches through the same kernel."""
+    centroids = a_rects.select(
+        F.col("doc_id").alias("query_id"),
+        ((F.col("min_x") + F.col("max_x")) / F.lit(2.0)).alias("x"),
+        ((F.col("min_y") + F.col("max_y")) / F.lit(2.0)).alias("y"),
+        F.lit(k).alias("k"),
+    )
+    return knn(b_rects, centroids, grid, initial_radius, ranker)

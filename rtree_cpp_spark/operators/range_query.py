@@ -71,6 +71,43 @@ def range_query(data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast
     )
 
 
+def contains_query(
+    data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast_queries: bool = True
+) -> DataFrame:
+    """Containment query: (query_id, doc_id) for docs FULLY INSIDE the
+    query rect — reference P3 (`contains`, Rectangle.h:74-77) promoted
+    from a pruning helper to a first-class plan.  Closed containment:
+    docs equal to the query match.
+
+    Same one-broadcast-join shape as :func:`range_query`; the reference-
+    point dedup is valid unchanged because a contained doc's reference
+    point is its own min corner (max(q_min, d_min) = d_min), whose cell
+    is in both covers."""
+    q = queries.select(
+        "query_id",
+        F.col("min_x").alias("q_min_x"),
+        F.col("min_y").alias("q_min_y"),
+        F.col("max_x").alias("q_max_x"),
+        F.col("max_y").alias("q_max_y"),
+    )
+    q_cells = with_cover_cells(q, grid, prefix="q_")
+    if broadcast_queries:
+        q_cells = F.broadcast(q_cells)
+    d_cells = with_cover_cells(data_rects, grid)
+    inside = contains_col(
+        F.col("q_min_x"), F.col("q_min_y"), F.col("q_max_x"), F.col("q_max_y"),
+        F.col("min_x"), F.col("min_y"), F.col("max_x"), F.col("max_y"),
+    )
+    ref_cell = ref_point_cell_col(
+        grid, F.col("q_min_x"), F.col("q_min_y"), F.col("min_x"), F.col("min_y")
+    )
+    return (
+        d_cells.join(q_cells, "cell")
+        .where(inside & (F.col("cell") == ref_cell))
+        .select("query_id", "doc_id")
+    )
+
+
 def range_count(data_rects: DataFrame, queries: DataFrame, grid: Grid) -> DataFrame:
     """Per-query hit count — the reference's only (commented-out) range
     output was the count (RTreeBulkLoad.cpp:202-209)."""

@@ -170,6 +170,73 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+_FXP = float(1 << 30)  # fixed-point scale for order-independent mean sums
+
+
+def ivf_train(embeddings: DataFrame, n_centroids: int = 16, n_iters: int = 2) -> DataFrame:
+    """(cent_id, centroid array<double>): Lloyd's k-means refinement of
+    the deterministic seed centroids (first ``n_centroids`` vectors),
+    ``n_iters`` rounds — the training step the IVF scale path needs when
+    the seed quantization drifts from the data distribution.
+
+    Per round: centroids (driver-resident, tiny) broadcast → per-vector
+    argmin assignment by (sq_l2, cent_id) → per-(centroid, dim) mean.
+    The mean uses **fixed-point accumulation**: each float32 element maps
+    to ``floor(v * 2^30)`` (exact — a float32's 24-bit mantissa times a
+    power of two is exact in double), the int64 quantities SUM in any
+    order, and one IEEE division yields the double centroid.  That makes
+    the distributed mean order-independent, hence bit-identical across
+    partitionings AND reproducible by the DuckDB oracle — the standard
+    determinism trick for distributed float aggregation.  Empty clusters
+    keep their previous centroid."""
+    fold_sqdiff = _fold_sqdiff_udf()
+    spark = embeddings.sparkSession
+    e = embeddings.select("vec_id", "embedding")
+    cent = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("c_emb"),
+    )
+    cent_schema = "cent_id long, c_emb array<double>"
+    for _ in range(n_iters):
+        bcent = F.broadcast(cent)
+        w = Window.partitionBy("vec_id").orderBy("l2", "cent_id")
+        asg = (
+            e.crossJoin(bcent)
+            .withColumn("l2", fold_sqdiff(F.col("embedding"), F.col("c_emb")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+        elem = (
+            e.join(asg, "vec_id")
+            .select("cent_id", F.posexplode("embedding").alias("pos", "val"))
+            .withColumn("q", F.floor(F.col("val").cast("double") * F.lit(_FXP)).cast("long"))
+        )
+        mean = (
+            elem.groupBy("cent_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cent_id", "pos",
+                (F.col("s").cast("double") / (F.col("n").cast("double") * F.lit(_FXP))).alias("v"),
+            )
+        )
+        new_c = (
+            mean.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cent_id", F.transform("pv", lambda x: x["v"]).alias("c_emb"))
+        )
+        merged = (
+            cent.select("cent_id", F.col("c_emb").alias("_old"))
+            .join(new_c, "cent_id", "left")
+            .select("cent_id", F.coalesce("c_emb", "_old").alias("c_emb"))
+        )
+        # centroids are tiny and driver-resident by design: collect to
+        # truncate the iteration's lineage (the "broadcast model" state)
+        rows = [(r["cent_id"], list(r["c_emb"])) for r in merged.collect()]
+        cent = spark.createDataFrame(rows, cent_schema)
+    return cent.select("cent_id", F.col("c_emb").alias("centroid"))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 20,

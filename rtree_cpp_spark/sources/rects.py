@@ -48,6 +48,12 @@ def _rect_sql(table: str, key: str, prefix: str, seed: int) -> str:
 RECTS_A_SQL = _rect_sql("orders", "o_orderkey", "A", 1)
 RECTS_B_SQL = _rect_sql("customer", "c_custkey", "B", 2)
 
+# ~3% deterministic subset of A (same hash arithmetic → doc_ids are a
+# strict subset of RECTS_A_SQL's): the query side of the kNN join.
+RECTS_A_SUBSET_SQL = _rect_sql(
+    "(SELECT o_orderkey FROM orders WHERE o_orderkey % 29 = 0) t", "o_orderkey", "A", 1
+)
+
 # Range queries from nation (25 rows): mixed sizes incl. huge boxes.
 QUERIES_RANGE_SQL = (
     "SELECT CONCAT('R', CAST(n_nationkey AS STRING)) AS query_id, "
@@ -142,6 +148,11 @@ def rects_a(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rects_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_views(spark, sf_dir)
     return spark.sql(RECTS_B_SQL)
+
+
+def rects_a_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(RECTS_A_SUBSET_SQL)
 
 
 def queries_range(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,6 +80,33 @@ def test_knn_vs_brute(spark, rects_a_df, rects_a_pdf, grid):
     assert_same_rows(got, exp)
 
 
+@pytest.mark.parametrize("grid", GRIDS, ids=lambda g: f"level{g.level}")
+def test_contains_query_vs_brute(spark, rects_a_df, rects_a_pdf, range_queries_pdf, grid):
+    from rtree_cpp_spark.operators.range_query import contains_query
+
+    qdf = spark.createDataFrame(range_queries_pdf)
+    got = contains_query(rects_a_df, qdf, grid)
+    exp = brute.contains_brute(rects_a_pdf, range_queries_pdf)
+    assert_same_rows(got, exp)
+
+
+def test_knn_join_vs_brute(spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_pdf):
+    from rtree_cpp_spark.operators.knn import knn_join
+
+    sub = rects_a_pdf.head(40)
+    got = knn_join(spark.createDataFrame(sub), rects_b_df, Grid(6), k=3)
+    queries = pd.DataFrame(
+        {
+            "query_id": sub["doc_id"],
+            "x": (sub["min_x"] + sub["max_x"]) / 2.0,
+            "y": (sub["min_y"] + sub["max_y"]) / 2.0,
+            "k": 3,
+        }
+    )
+    exp = brute.knn_brute(rects_b_pdf, queries, dtype=np.float64)
+    assert_same_rows(got, exp)
+
+
 def test_knn_many_rounds_far_queries(spark, rects_a_pdf):
     """Far-from-data query points force many disk-doubling rounds (the
     data sits in a corner 1/32 the domain, queries in the opposite

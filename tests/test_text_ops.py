@@ -64,6 +64,46 @@ def test_simhash_matches_brute(spark, texts_df):
         assert got[row["doc_id"]] == sim, row["text"][:40]
 
 
+def test_ivf_train_matches_numpy(spark):
+    """Lloyd's iterations with fixed-point mean accumulation must equal a
+    straightforward numpy reference bit-for-bit (the same quantization)."""
+    import numpy as np
+
+    from rtree_cpp_spark.operators.similarity import ivf_train
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 60, 8, 4
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [list(map(float, e)) for e in emb]})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    got = (
+        ivf_train(df, n_centroids=k, n_iters=2)
+        .toPandas()
+        .sort_values("cent_id")
+        .reset_index(drop=True)
+    )
+
+    E = emb.astype(np.float64)
+    cent = E[:k].copy()
+    for _ in range(2):
+        # argmin by (sq_l2, cent_id), computed with the same left-fold order
+        d = np.zeros((n, k))
+        for j in range(dim):
+            diff = E[:, j : j + 1] - cent[:, j : j + 1].T
+            d = d + diff * diff
+        asg = np.argmin(d, axis=1)  # ties -> lowest index, same as (l2, cent_id)
+        new = cent.copy()
+        for c in range(k):
+            members = E[asg == c]
+            if len(members):
+                q = np.floor(members * (1 << 30)).astype(np.int64)
+                new[c] = q.sum(axis=0).astype(np.float64) / (float(len(members)) * float(1 << 30))
+        cent = new
+    for i in range(k):
+        assert list(got["centroid"][i]) == list(cent[i]), f"centroid {i} differs"
+
+
 def test_knn_job_rejects_nonpositive_k(monkeypatch):
     """Mirrors the reference CLI's k validation (src/Main.cpp:212-215)."""
     import jobs.run_knn as rk
