@@ -26,9 +26,8 @@ from rtree_cpp_spark.operators import dedup, events, multimodal, similarity, tex
 from rtree_cpp_spark.operators.knn import knn, knn_join, knn_kernel
 from rtree_cpp_spark.operators.pip_join import pip_join
 from rtree_cpp_spark.operators.range_query import contains_query, range_count, range_query
-from rtree_cpp_spark.operators.spatial_join import spatial_join, spatial_join_salted
-from rtree_cpp_spark.operators.tiles import primary_tiles, tile_stats
-from rtree_cpp_spark.operators.tiles import cover_tiles
+from rtree_cpp_spark.operators.spatial_join import distance_join, spatial_join, spatial_join_salted
+from rtree_cpp_spark.operators.tiles import cover_tiles, primary_tiles, tile_stats, zonal_stats
 from rtree_cpp_spark.plans.layout import occupancy_stats
 from rtree_cpp_spark.sources import rects
 from rtree_cpp_spark.sources.rects import (
@@ -61,6 +60,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# Deterministic synthetic raster band at the gate resolution: one value
+# per cell, derived from the cell id (integer arithmetic — the DuckDB
+# oracle recomputes it inline, no table needed).
+_RASTER_K = 2654435761
+
+
+def _raster(spark: SparkSession) -> DataFrame:
+    n = GRID.n
+    return spark.range(n * n).select(
+        F.col("id").alias("cell"),
+        ((F.col("id") * _RASTER_K) % 1000).alias("value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_primary": lambda s, d: primary_tiles(rects.rects_a(s, d), GRID),
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
+        "tiles_zonal_stats": lambda s, d: zonal_stats(rects.rects_a(s, d), _raster(s), GRID),
+        "spatial_distance_join": lambda s, d: distance_join(
+            rects.rects_a_subset(s, d), rects.rects_b(s, d), GRID, max_dist=8.0
+        ),
         # --- dedup family ---
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
@@ -523,6 +540,25 @@ def oracle_sql() -> dict[str, str]:
             "MIN(min_x) AS mbr_min_x, MIN(min_y) AS mbr_min_y, "
             "MAX(max_x) AS mbr_max_x, MAX(max_y) AS mbr_max_y "
             f"FROM gxy GROUP BY cx * {GRID.n} + cy"
+        ),
+        "tiles_zonal_stats": (
+            f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE}, "
+            f"cells AS (SELECT doc_id, cx * {GRID.n} + cy AS cell FROM gxy) "
+            f"SELECT doc_id, COUNT(*) AS n_cells, "
+            f"SUM((cell * {_RASTER_K}) % 1000) AS sum_value, "
+            f"MIN((cell * {_RASTER_K}) % 1000) AS min_value, "
+            f"MAX((cell * {_RASTER_K}) % 1000) AS max_value "
+            "FROM cells GROUP BY doc_id"
+        ),
+        "spatial_distance_join": (
+            f"WITH a AS ({RECTS_A_SUBSET_SQL}), b AS ({RECTS_B_SQL}), "
+            "p AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, "
+            "((a.min_x + a.max_x) / 2e0 - (b.min_x + b.max_x) / 2e0) * "
+            "((a.min_x + a.max_x) / 2e0 - (b.min_x + b.max_x) / 2e0) + "
+            "((a.min_y + a.max_y) / 2e0 - (b.min_y + b.max_y) / 2e0) * "
+            "((a.min_y + a.max_y) / 2e0 - (b.min_y + b.max_y) / 2e0) AS sq_dist "
+            "FROM a CROSS JOIN b) "
+            "SELECT a_doc_id, b_doc_id, sq_dist FROM p WHERE sq_dist <= 64e0"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "

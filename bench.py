@@ -63,6 +63,8 @@ def main() -> None:
         "interleaved_join_spans",
         "tiles_cover",
         "tile_stats",
+        "tiles_zonal_stats",
+        "spatial_distance_join",
         "layout_occupancy",
         "dedup_minhash_lsh",
         "dedup_exact",

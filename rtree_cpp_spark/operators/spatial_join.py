@@ -89,6 +89,68 @@ def spatial_join(
     )
 
 
+def distance_join(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    max_dist: float,
+) -> DataFrame:
+    """DISTANCE join: (a_doc_id, b_doc_id, sq_dist) for pairs whose
+    centroids lie within ``max_dist`` (Euclidean; emitted distance is
+    squared, like every reference distance — Rectangle.h:92-112, no
+    sqrt).  The range-join analog the reference lacks, built from the
+    same cell machinery: A centroids explode to the Chebyshev disk of
+    radius ceil(max_dist/cell_size) around their cell, B centroids sit
+    in their single primary cell, candidates meet by cell equi-join and
+    refine exactly.  Each true pair meets in EXACTLY one cell (B's
+    primary), so there is no dedup pass at all (the pip_join property).
+
+    Scale: disk explode multiplies A by (2r+1)^2 where r = ceil(d/s) —
+    choose the grid so max_dist ≈ one cell (r=1 → 9x) and the join
+    shuffles only (doc_id, cx, cy); AQE skew-join backstops hot disks."""
+    import math
+
+    r = max(1, math.ceil(max_dist / grid.cell_size))
+    n = grid.n
+    a_cx, a_cy = (
+        (F.col("min_x") + F.col("max_x")) / 2.0,
+        (F.col("min_y") + F.col("max_y")) / 2.0,
+    )
+    a = a_rects.select(
+        F.col("doc_id").alias("a_doc_id"),
+        a_cx.alias("ax"), a_cy.alias("ay"),
+        grid.cx_col(a_cx).alias("_qcx"), grid.cx_col(a_cy).alias("_qcy"),
+    )
+    gx0 = F.greatest(F.lit(0), F.col("_qcx") - F.lit(r))
+    gx1 = F.least(F.lit(n - 1), F.col("_qcx") + F.lit(r))
+    gy0 = F.greatest(F.lit(0), F.col("_qcy") - F.lit(r))
+    gy1 = F.least(F.lit(n - 1), F.col("_qcy") + F.lit(r))
+    a = (
+        a.withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn("cell", F.col("_gx") * F.lit(n) + F.col("_gy"))
+        .select("a_doc_id", "ax", "ay", "cell")
+    )
+    b_cx, b_cy = (
+        (F.col("min_x") + F.col("max_x")) / 2.0,
+        (F.col("min_y") + F.col("max_y")) / 2.0,
+    )
+    b = b_rects.select(
+        F.col("doc_id").alias("b_doc_id"),
+        b_cx.alias("bx"), b_cy.alias("by"),
+        grid.cell_of_point_col(b_cx, b_cy).alias("cell"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    sq = dx * dx + dy * dy
+    return (
+        a.join(b, "cell")
+        .withColumn("sq_dist", sq)
+        .where(F.col("sq_dist") <= F.lit(float(max_dist) * float(max_dist)))
+        .select("a_doc_id", "b_doc_id", "sq_dist")
+    )
+
+
 def spatial_join_salted(
     a_rects: DataFrame,
     b_rects: DataFrame,

@@ -58,3 +58,30 @@ def tile_stats(data_rects: DataFrame, grid: Grid) -> DataFrame:
 
 def cover_tiles_with_rect(data_rects: DataFrame, grid: Grid) -> DataFrame:
     return with_cover_cells(data_rects.select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid)
+
+
+def zonal_stats(data_rects: DataFrame, raster: DataFrame, grid: Grid) -> DataFrame:
+    """Raster→vector ZONAL STATISTICS: per-doc aggregates of the raster
+    cells its rect covers — the overlay direction `cover_tiles` only
+    enumerates.  ``raster`` is a (cell, value) table (a band of a tiled
+    raster at this grid's resolution).
+
+    (doc_id, n_cells, sum_value, min_value, max_value)
+
+    Scale shape: cover explode (narrow) → equi-join on ``cell`` (the
+    raster side is O(cells), usually broadcastable; a 2^30-cell band at
+    planetary resolution shuffles instead) → groupBy(doc_id) with
+    map-side partials.  Zero Python."""
+    cov = with_cover_cells(
+        data_rects.select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid
+    ).select("doc_id", "cell")
+    return (
+        cov.join(raster, "cell")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

@@ -58,6 +58,19 @@ def stream_spatial_join(docs_stream: DataFrame, static_rects: DataFrame, grid: G
     return _refine(a.join(b, "cell"), grid)
 
 
+def stream_range_monitor(
+    docs_stream: DataFrame, queries_static: DataFrame, grid: Grid
+) -> DataFrame:
+    """Standing range queries over an arriving doc stream: every
+    micro-batch of docs is matched against the static query set (tiny,
+    broadcast) — the continuous form of the batch ``range_query``, same
+    closed-interval semantics and reference-point dedup, stateless (no
+    state store; each doc is reported once, when it arrives)."""
+    from rtree_cpp_spark.operators.range_query import range_query
+
+    return range_query(rects_only(docs_stream), queries_static, grid)
+
+
 CELL_STATS_OUTPUT = (
     "cell long, n_docs long, mbr_min_x float, mbr_min_y float, mbr_max_x float, mbr_max_y float"
 )

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from oracle import brute
 from rtree_cpp_spark.functions.cells import Grid
@@ -105,6 +106,57 @@ def test_knn_join_vs_brute(spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_p
     )
     exp = brute.knn_brute(rects_b_pdf, queries, dtype=np.float64)
     assert_same_rows(got, exp)
+
+
+@pytest.mark.parametrize("max_dist", [4.0, 32.0])
+def test_distance_join_vs_brute(spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_pdf, max_dist):
+    from rtree_cpp_spark.operators.spatial_join import distance_join
+
+    got = (
+        distance_join(rects_a_df, rects_b_df, Grid(6), max_dist)
+        .toPandas()
+        .sort_values(["a_doc_id", "b_doc_id"])
+        .reset_index(drop=True)
+    )
+    ax = ((rects_a_pdf["min_x"] + rects_a_pdf["max_x"]) / 2.0).to_numpy()
+    ay = ((rects_a_pdf["min_y"] + rects_a_pdf["max_y"]) / 2.0).to_numpy()
+    bx = ((rects_b_pdf["min_x"] + rects_b_pdf["max_x"]) / 2.0).to_numpy()
+    by = ((rects_b_pdf["min_y"] + rects_b_pdf["max_y"]) / 2.0).to_numpy()
+    d2 = (ax[:, None] - bx[None, :]) ** 2 + (ay[:, None] - by[None, :]) ** 2
+    ai, bi = np.nonzero(d2 <= max_dist * max_dist)
+    exp = pd.DataFrame(
+        {
+            "a_doc_id": rects_a_pdf["doc_id"].to_numpy()[ai],
+            "b_doc_id": rects_b_pdf["doc_id"].to_numpy()[bi],
+            "sq_dist": d2[ai, bi],
+        }
+    ).sort_values(["a_doc_id", "b_doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly-once: no duplicate pairs (each B centroid in one cell)
+    assert not got.duplicated(["a_doc_id", "b_doc_id"]).any()
+
+
+def test_zonal_stats_vs_brute(spark, rects_a_df, rects_a_pdf):
+    from rtree_cpp_spark.operators.tiles import zonal_stats
+
+    grid = Grid(6)
+    n = grid.n
+    raster = spark.range(n * n).select(
+        F.col("id").alias("cell"), (F.col("id") % 7).alias("value")
+    )
+    got = zonal_stats(rects_a_df, raster, grid).toPandas().set_index("doc_id").sort_index()
+    rows = {}
+    for _, r in rects_a_pdf.iterrows():
+        cells = grid.cover_cells_one(r["min_x"], r["min_y"], r["max_x"], r["max_y"])
+        vals = cells % 7
+        rows[r["doc_id"]] = (len(vals), vals.sum(), vals.min(), vals.max())
+    exp = pd.DataFrame.from_dict(
+        rows, orient="index", columns=["n_cells", "sum_value", "min_value", "max_value"]
+    ).sort_index()
+    assert got["n_cells"].tolist() == exp["n_cells"].tolist()
+    assert got["sum_value"].tolist() == exp["sum_value"].tolist()
+    assert got["min_value"].tolist() == exp["min_value"].tolist()
+    assert got["max_value"].tolist() == exp["max_value"].tolist()
 
 
 def test_knn_many_rounds_far_queries(spark, rects_a_pdf):

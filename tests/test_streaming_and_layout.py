@@ -57,6 +57,37 @@ def test_stream_events_matches_batch(spark, tmp_path):
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
 
 
+def test_stream_range_monitor_matches_batch(spark, docs_a_df, tmp_path):
+    """Standing range queries over a doc stream: availableNow drain of the
+    whole corpus must equal the batch range_query on the same inputs."""
+    from rtree_cpp_spark.operators.range_query import range_query
+    from rtree_cpp_spark.streaming.stream_ops import stream_docs, stream_range_monitor
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "rm_out")
+    ckpt = str(tmp_path / "rm_ckpt")
+    docs_a_df.write.parquet(docs_dir)
+    grid = Grid(6)
+    queries = spark.createDataFrame(synth.synth_range_queries_pdf(10, seed=5))
+    q = (
+        stream_range_monitor(stream_docs(spark, docs_dir), queries, grid)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    exp = (
+        range_query(rects_only(docs_a_df), queries, grid)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_choose_grid_density_heuristic(spark):
     # clustered synthetic: finer levels drop below 64 median occupancy
     docs = spark.createDataFrame(synth.synth_docs_pdf("A", 2000, seed=42), schema=synth.DOC_SCHEMA)
