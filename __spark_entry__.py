@@ -27,7 +27,13 @@ from rtree_cpp_spark.operators.knn import knn, knn_join, knn_kernel
 from rtree_cpp_spark.operators.pip_join import pip_join
 from rtree_cpp_spark.operators.range_query import contains_query, range_count, range_query
 from rtree_cpp_spark.operators.spatial_join import distance_join, spatial_join, spatial_join_salted
-from rtree_cpp_spark.operators.tiles import cover_tiles, primary_tiles, tile_stats, zonal_stats
+from rtree_cpp_spark.operators.tiles import (
+    cover_tiles,
+    primary_tiles,
+    tile_pyramid,
+    tile_stats,
+    zonal_stats,
+)
 from rtree_cpp_spark.plans.layout import occupancy_stats
 from rtree_cpp_spark.sources import rects
 from rtree_cpp_spark.sources.rects import (
@@ -122,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
         "tiles_zonal_stats": lambda s, d: zonal_stats(rects.rects_a(s, d), _raster(s), GRID),
+        "tiles_pyramid": lambda s, d: tile_pyramid(rects.rects_a(s, d), GRID),
         "spatial_distance_join": lambda s, d: distance_join(
             rects.rects_a_subset(s, d), rects.rects_b(s, d), GRID, max_dist=8.0
         ),
@@ -130,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_jaccard": lambda s, d: dedup.jaccard_pairs(_docs(s, d), threshold=0.5),
+        "dedup_components": lambda s, d: dedup.duplicate_components(_docs(s, d)),
         # --- similarity search ---
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d), n_queries=20, k=5),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
@@ -344,6 +352,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) "
         "AS simhash FROM per_bit GROUP BY doc_id"
     )
+    # Duplicate clusters: min doc_id reachable through the LSH pair graph.
+    # The oracle's recursive CTE IS the spec the engine's min-label
+    # propagation + pointer jumping must converge to.
+    components_sql = (
+        "WITH RECURSIVE pairs AS (" + minhash_sql + "), "
+        "edges AS (SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs "
+        "UNION ALL SELECT b_doc_id, a_doc_id FROM pairs), "
+        "reach(node, label) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
+        "SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node"
+    )
     jaccard_sql = (
         "WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id), "
@@ -541,6 +562,20 @@ def oracle_sql() -> dict[str, str]:
             "MAX(max_x) AS mbr_max_x, MAX(max_y) AS mbr_max_y "
             f"FROM gxy GROUP BY cx * {GRID.n} + cy"
         ),
+        "tiles_pyramid": (
+            f"WITH r AS ({RECTS_A_SQL}), "
+            f"pc AS (SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell FROM r), "
+            f"cc AS (SELECT CAST(FLOOR(cell / {GRID.n}.0) AS BIGINT) AS cx, "
+            f"cell % {GRID.n} AS cy, COUNT(*) AS n FROM pc GROUP BY 1, 2), "
+            "lv AS ("
+            + " UNION ALL ".join(
+                f"SELECT {lvl} AS level, "
+                f"(CAST(FLOOR(cx / {1 << (GRID.level - lvl)}.0) AS BIGINT) * {1 << lvl} "
+                f"+ CAST(FLOOR(cy / {1 << (GRID.level - lvl)}.0) AS BIGINT)) AS cell, n FROM cc"
+                for lvl in range(GRID.level, -1, -1)
+            )
+            + ") SELECT level, cell, CAST(SUM(n) AS BIGINT) AS n_docs FROM lv GROUP BY level, cell"
+        ),
         "tiles_zonal_stats": (
             f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE}, "
             f"cells AS (SELECT doc_id, cx * {GRID.n} + cy AS cell FROM gxy) "
@@ -565,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "dedup_minhash_lsh": minhash_sql,
+        "dedup_components": components_sql,
         "dedup_simhash": simhash_sql,
         "dedup_jaccard": jaccard_sql,
         "ann_cosine_topk": cosine_sql,

@@ -64,9 +64,11 @@ def main() -> None:
         "tiles_cover",
         "tile_stats",
         "tiles_zonal_stats",
+        "tiles_pyramid",
         "spatial_distance_join",
         "layout_occupancy",
         "dedup_minhash_lsh",
+        "dedup_components",
         "dedup_exact",
         "dedup_simhash",
         "ann_cosine_topk",

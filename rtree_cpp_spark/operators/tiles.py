@@ -60,6 +60,44 @@ def cover_tiles_with_rect(data_rects: DataFrame, grid: Grid) -> DataFrame:
     return with_cover_cells(data_rects.select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid)
 
 
+def tile_pyramid(data_rects: DataFrame, grid: Grid) -> DataFrame:
+    """(level, cell, n_docs): multi-resolution rollup of the PRIMARY tile
+    assignment — occupancy at every level from ``grid.level`` down to 0,
+    each doc counted exactly once per level (primary cell is a partition
+    of the corpus, SURVEY.md section 2.7).
+
+    Scale shape: ONE O(docs) shuffle (the base groupBy(cell) with
+    map-side partials), then the parent-chain explode runs on the
+    O(cells) per-cell aggregate — upper levels cost nothing at corpus
+    scale.  Parent cells are pure integer prefix arithmetic (the
+    reference's upper-level STR build, RTreeBulkLoad.cpp:62-97, with no
+    materialized nodes — SURVEY.md B3)."""
+    base = (
+        primary_tiles(data_rects, grid)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    n = F.lit(grid.n)
+    cx, cy = (F.col("cell") / n).cast("long"), F.col("cell") % n
+    chain = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("level"),
+                (
+                    F.shiftrightunsigned(cx, grid.level - lvl) * F.lit(1 << lvl)
+                    + F.shiftrightunsigned(cy, grid.level - lvl)
+                ).alias("pcell"),
+            )
+            for lvl in range(grid.level, -1, -1)
+        ]
+    )
+    return (
+        base.select(F.explode(chain).alias("lc"), "n_docs")
+        .groupBy(F.col("lc.level").alias("level"), F.col("lc.pcell").alias("cell"))
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
 def zonal_stats(data_rects: DataFrame, raster: DataFrame, grid: Grid) -> DataFrame:
     """Raster→vector ZONAL STATISTICS: per-doc aggregates of the raster
     cells its rect covers — the overlay direction `cover_tiles` only

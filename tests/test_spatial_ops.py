@@ -240,3 +240,34 @@ def test_pip_join_vs_brute(spark, rects_a_df, rects_a_pdf, boundary):
         closed = pip_join(spark.createDataFrame(pts), rects_a_df, grid, "closed").toPandas()
         m = got.merge(closed, on=["point_id", "doc_id"])
         assert len(m) == len(got)
+
+
+def test_tile_pyramid_rollup(spark, rects_a_df, rects_a_pdf):
+    from rtree_cpp_spark.operators.tiles import tile_pyramid
+
+    grid = Grid(6)
+    got = tile_pyramid(rects_a_df, grid).toPandas()
+    n_docs = len(rects_a_pdf)
+    # every level partitions the corpus: counts sum to n_docs per level
+    sums = got.groupby("level")["n_docs"].sum()
+    assert set(sums.index) == set(range(grid.level + 1))
+    assert (sums == n_docs).all()
+    # level 0 is the single root cell
+    root = got[got["level"] == 0]
+    assert len(root) == 1 and root.iloc[0]["cell"] == 0
+    # finest level equals the primary-tile occupancy
+    base = (
+        primary_tiles(rects_a_df, grid)
+        .groupBy("cell")
+        .count()
+        .toPandas()
+        .set_index("cell")["count"]
+    )
+    lvl6 = got[got["level"] == grid.level].set_index("cell")["n_docs"]
+    assert lvl6.sort_index().equals(base.sort_index().rename("n_docs"))
+    # parent consistency: each level-5 cell aggregates its 4 children
+    lvl5 = got[got["level"] == 5].set_index("cell")["n_docs"]
+    child = got[got["level"] == 6].copy()
+    pcell = (child["cell"] // grid.n // 2) * (grid.n // 2) + (child["cell"] % grid.n) // 2
+    rolled = child.groupby(pcell)["n_docs"].sum()
+    assert lvl5.sort_index().equals(rolled.sort_index().rename("n_docs"))

@@ -118,3 +118,64 @@ def test_knn_job_rejects_nonpositive_k(monkeypatch):
     )
     with pytest.raises(SystemExit):
         rk.main()
+
+
+def _union_find_components(n_ids, pairs):
+    """Driver-side union-find oracle: {doc_id: min reachable doc_id}."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_duplicate_components_chain_graph(spark):
+    """Adversarial path graph 9-8-...-0: min label must travel the whole
+    chain — exercises the pointer-jumping O(log diameter) convergence."""
+    ids = list(range(10))
+    chain = [(i, i + 1) for i in range(9)]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids + [100, 200]}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain + [(100, 200)], columns=["a_doc_id", "b_doc_id"])
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.duplicate_components(docs, pairs=pairs).collect()
+    }
+    exp = _union_find_components(ids + [100, 200], chain + [(100, 200)])
+    assert got == exp
+    assert got[9] == 0 and got[200] == 100
+
+
+def test_duplicate_components_from_lsh(spark):
+    """End-to-end: exact dup docs land in one component via LSH pairs;
+    distinct docs stay singletons."""
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                dup_text,
+                dup_text,
+                dup_text + " iota",
+                "totally different words entirely unrelated content here",
+                "short",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.duplicate_components(docs).collect()
+    }
+    assert got[1] == 1 and got[2] == 1  # exact dups share all bands
+    assert got[4] == 4 and got[5] == 5  # singletons keep their own id
+    assert set(got) == {1, 2, 3, 4, 5}  # output is a partition of the corpus
