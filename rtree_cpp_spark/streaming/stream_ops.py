@@ -127,6 +127,37 @@ def stream_cell_stats(docs_stream: DataFrame, grid: Grid) -> DataFrame:
     )
 
 
+def stream_dedup_events(events_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact dedup over an event stream: each ``event_id`` is
+    emitted once; re-deliveries arriving within the watermark horizon
+    are dropped (``dropDuplicatesWithinWatermark`` — state is bounded by
+    the horizon, unlike a plain streaming ``dropDuplicates`` whose key
+    state grows forever).  The streaming twin of batch
+    ``SELECT DISTINCT``-by-key, and the at-least-once → exactly-once
+    repair stage of a 100 TB ingest pipeline."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_dedup_once(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(events_dir)
+    q = (
+        stream_dedup_events(events)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_events_hourly(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup: late events beyond the
     watermark are dropped; state is bounded by watermark horizon."""

@@ -284,3 +284,25 @@ def test_bucketed_join_has_no_exchange(spark, rects_a_pdf, rects_b_pdf):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_stream_dedup_events_drops_redeliveries(spark, tmp_path):
+    """At-least-once input (every event delivered twice) -> exactly one
+    output row per event_id, matching the batch DISTINCT."""
+    from rtree_cpp_spark.streaming.stream_ops import run_stream_dedup_once
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(2000)
+    src = str(tmp_path / "dup_src")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)  # second delivery of every event
+    assert spark.read.parquet(src).count() == 2 * events.count()
+    run_stream_dedup_once(spark, src, out, ckpt)
+    got = spark.read.parquet(out)
+    n = events.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    # value-level agreement with the batch side
+    merged = got.join(events.select("event_id", F.col("value").alias("v_b")), "event_id")
+    assert merged.where(F.col("value") != F.col("v_b")).count() == 0
