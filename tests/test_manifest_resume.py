@@ -81,3 +81,43 @@ def test_rerun_is_noop(spark, tiles_df, tmp_path):
     res = manifest.resumable_write(tiles_df, out, "cell", man, "run3", "tiles")
     assert not res["written_keys"]
     assert res["output_rows"] == 0
+
+
+def test_run_dedup_job_end_to_end(spark, tmp_path, monkeypatch):
+    """The dedup job writes duplicate clusters resumably; a rerun with the
+    same run id skips every partition."""
+    import sys as _sys
+
+    import pandas as pd
+
+    import pyspark.sql as pysql
+
+    import jobs.run_dedup as rd
+
+    # the job stops its session on exit; keep the shared test session alive
+    monkeypatch.setattr(pysql.SparkSession, "stop", lambda self: None)
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [dup, dup, "other words here now then"]})
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    docs.write.parquet(src)
+    argv = [
+        "run_dedup.py", "--input", src, "--mode", "components", "--output", out,
+        "--manifest", man, "--run-id", "r1", "--num-parts", "4",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    rd.main()
+    got = {r.doc_id: r.component_id for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    from rtree_cpp_spark.plans import manifest as man_mod
+
+    done = set(man_mod.done_keys(spark, man, "r1", "dedup_components"))
+    assert done  # at least one partition recorded
+    # rerun: everything skipped, output unchanged
+    monkeypatch.setattr(_sys, "argv", argv)
+    rd.main()
+    assert {r.doc_id: r.component_id for r in spark.read.parquet(out).collect()} == got
