@@ -108,6 +108,30 @@ def contains_query(
     )
 
 
+def range_query_layout(
+    spark, layout_path: str, queries: DataFrame, grid: Grid
+) -> DataFrame:
+    """Range query over a WRITTEN layout with partition pruning: coarse
+    hive partitions whose per-partition MBR (the node-MBR analog,
+    ``plans.layout.stats_path``) is disjoint from every query are never
+    read — Catalyst turns the ``isin`` into PartitionFilters, so the
+    pruned dirs cost zero I/O.  This is the reference's root-level MBR
+    pruning (RTreeBulkLoad.cpp:154-156) at the storage layer.
+
+    Pruning on the MBR (not the coarse cell box) is what makes it sound:
+    docs are placed by centroid and can overhang their partition, exactly
+    as R-tree node MBRs overhang their STR slab.  Queries are tiny by
+    contract (S2, broadcast side) — the prune set is computed driver-side
+    from the O(coarse cells) stats table."""
+    from rtree_cpp_spark.plans.layout import prune_partitions_for_queries, read_layout
+
+    surviving = prune_partitions_for_queries(spark, layout_path, queries.toPandas())
+    data = read_layout(spark, layout_path).where(F.col("coarse_cell").isin(surviving))
+    return range_query(
+        data.select("doc_id", "min_x", "min_y", "max_x", "max_y"), queries, grid
+    )
+
+
 def range_count(data_rects: DataFrame, queries: DataFrame, grid: Grid) -> DataFrame:
     """Per-query hit count — the reference's only (commented-out) range
     output was the count (RTreeBulkLoad.cpp:202-209)."""

@@ -120,6 +120,26 @@ def _with_layout_cols(rects: DataFrame, grid: Grid, coarse_levels_up: int) -> Da
     return df.withColumn("coarse_cell", pcx * F.lit(grid.n >> up) + pcy)
 
 
+def stats_path(path: str) -> str:
+    """Sidecar location of the per-coarse-partition MBR stats table."""
+    return f"{path}__cellstats"
+
+
+def _partition_stats(df: DataFrame) -> DataFrame:
+    """(coarse_cell, n_docs, mbr_min_x..mbr_max_y): the node-MBR analog
+    (reference Node.cpp:20-38) per hive partition.  A partition's MBR can
+    overhang its coarse cell's box — docs are placed by CENTROID — which
+    is exactly why queries must prune on the MBR, not the cell bounds
+    (same as R-tree node MBRs overhanging their STR slab)."""
+    return df.groupBy("coarse_cell").agg(
+        F.count("*").alias("n_docs"),
+        F.min("min_x").alias("mbr_min_x"),
+        F.min("min_y").alias("mbr_min_y"),
+        F.max("max_x").alias("mbr_max_x"),
+        F.max("max_y").alias("mbr_max_y"),
+    )
+
+
 def write_layout(
     rects: DataFrame,
     path: str,
@@ -129,7 +149,8 @@ def write_layout(
 ) -> None:
     """Write the cell-keyed table: z-ordered range partitioning (spatial
     locality across files) + hive partition dirs on a coarse parent cell
-    (partition pruning for queries touching few regions)."""
+    (partition pruning for queries touching few regions), plus the MBR
+    stats sidecar (`stats_path`) that makes the pruning sound."""
     df = _with_layout_cols(rects, grid, coarse_levels_up)
     parts = num_partitions or rects.sparkSession.sparkContext.defaultParallelism
     (
@@ -140,10 +161,42 @@ def write_layout(
         .partitionBy("coarse_cell")
         .parquet(path)
     )
+    (
+        _partition_stats(df)
+        .write.mode("overwrite")
+        .partitionBy("coarse_cell")
+        .parquet(stats_path(path))
+    )
 
 
 def read_layout(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_partition_stats(spark, path: str) -> DataFrame:
+    return spark.read.parquet(stats_path(path))
+
+
+def prune_partitions_for_queries(spark, path: str, queries_pdf) -> list[int]:
+    """Coarse partitions whose MBR intersects ANY query rect (closed
+    bounds, reference predicate P1) — the distributed analog of the
+    R-tree's root-level MBR-disjoint pruning (RTreeBulkLoad.cpp:154-156).
+    The stats table is O(coarse cells) (<= 4096 by contract), so the
+    intersection runs driver-side in numpy."""
+    st = read_partition_stats(spark, path).toPandas()
+    if not len(st) or not len(queries_pdf):
+        return []
+    qx0 = np.asarray(queries_pdf["min_x"], dtype=np.float64)
+    qy0 = np.asarray(queries_pdf["min_y"], dtype=np.float64)
+    qx1 = np.asarray(queries_pdf["max_x"], dtype=np.float64)
+    qy1 = np.asarray(queries_pdf["max_y"], dtype=np.float64)
+    hit = (
+        (st["mbr_max_x"].to_numpy()[:, None] >= qx0[None, :])
+        & (st["mbr_min_x"].to_numpy()[:, None] <= qx1[None, :])
+        & (st["mbr_max_y"].to_numpy()[:, None] >= qy0[None, :])
+        & (st["mbr_min_y"].to_numpy()[:, None] <= qy1[None, :])
+    ).any(axis=1)
+    return sorted(int(c) for c in st["coarse_cell"].to_numpy()[hit])
 
 
 # ---------------------------------------------------------------------------
@@ -174,12 +227,24 @@ def _rewrite_partitions(
     spark, merged: DataFrame, path: str, affected: list[int], emptied: list[int]
 ) -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # materialize ONCE before any write: `merged` lazily reads the files
+    # the data overwrite below deletes, so the second (stats) pass would
+    # otherwise re-execute the plan against vanished inputs
+    merged = merged.localCheckpoint()
     (
         merged.sortWithinPartitions("_z", "min_x")
         .drop("_z")
         .write.mode("overwrite")
         .partitionBy("coarse_cell")
         .parquet(path)
+    )
+    # keep the MBR stats sidecar consistent: recompute stats for the
+    # partitions present in the written data (same dynamic overwrite)
+    (
+        _partition_stats(merged)
+        .write.mode("overwrite")
+        .partitionBy("coarse_cell")
+        .parquet(stats_path(path))
     )
     # dynamic overwrite only replaces partitions PRESENT in the written
     # data — a partition emptied by a delete writes zero rows and would
@@ -188,6 +253,7 @@ def _rewrite_partitions(
     hadoop, fs = _fs(spark)
     for p in emptied:
         fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
+        fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
 
 
 def upsert_layout(
@@ -276,8 +342,9 @@ def maybe_retile(
     staging = f"{path}__retiling"
     write_layout(rects, staging, new_grid, coarse_levels_up=coarse_levels_up)
     hadoop, fs = _fs(spark)
-    fs.delete(hadoop.Path(path), True)
-    fs.rename(hadoop.Path(staging), hadoop.Path(path))
+    for src, dst in ((staging, path), (stats_path(staging), stats_path(path))):
+        fs.delete(hadoop.Path(dst), True)
+        fs.rename(hadoop.Path(src), hadoop.Path(dst))
     return new_grid
 
 

@@ -114,3 +114,62 @@ def test_maybe_retile_on_drift(spark, rects_a_pdf, tmp_path):
     # within band now: a second call is a no-op returning the same grid
     g3 = layout.maybe_retile(spark, path, g2, levels=[2, 3, 4, 5, 6, 7, 8])
     assert g3.level == g2.level
+
+
+def test_pruned_range_query_matches_and_prunes(spark, rects_a_pdf, table):
+    """MBR-stats partition pruning (reference root-level MBR pruning,
+    RTreeBulkLoad.cpp:154-156): same rows as the unpruned query, fewer
+    partitions read, and the isin reaches the scan as PartitionFilters."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rtree_cpp_spark.operators.range_query import range_query, range_query_layout
+
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["q0", "q1"],
+                "min_x": [1.0, 200.0],
+                "min_y": [1.0, 150.0],
+                "max_x": [60.0, 260.0],
+                "max_y": [60.0, 210.0],
+            }
+        )
+    )
+    got = range_query_layout(spark, table, queries, GRID)
+    exp = range_query(
+        spark.createDataFrame(rects_a_pdf), queries, GRID
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, exp.collect()))
+    assert g == e and len(g) > 0
+    # real pruning happened
+    surviving = layout.prune_partitions_for_queries(spark, table, queries.toPandas())
+    total = layout.read_partition_stats(spark, table).count()
+    assert 0 < len(surviving) < total
+    # and it reached the scan as a partition filter (zero I/O for pruned dirs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain(True)
+    assert "PartitionFilters" in buf.getvalue()
+    assert "coarse_cell" in buf.getvalue().split("PartitionFilters", 1)[1][:400]
+
+
+def test_stats_sidecar_tracks_delete(spark, rects_a_pdf, table):
+    """Deleting every doc of a coarse partition drops its stats row, so
+    queries over that region prune to nothing."""
+    victims_cells = layout.read_layout(spark, table).where(F.col("coarse_cell") == 0)
+    victims = victims_cells.select("doc_id", "min_x", "min_y", "max_x", "max_y").toPandas()
+    if len(victims) == 0:
+        pytest.skip("partition 0 empty in fixture")
+    layout.delete_from_layout(spark, spark.createDataFrame(victims), table, GRID)
+    st = layout.read_partition_stats(spark, table).toPandas()
+    assert 0 not in set(st["coarse_cell"])
+    # stats still consistent with data for a surviving partition
+    data = layout.read_layout(spark, table).toPandas()
+    p = int(st["coarse_cell"].iloc[0])
+    sub = data[data["coarse_cell"] == p]
+    row = st[st["coarse_cell"] == p].iloc[0]
+    assert row["n_docs"] == len(sub)
+    assert row["mbr_min_x"] == sub["min_x"].min()
+    assert row["mbr_max_y"] == sub["max_y"].max()
