@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_jaccard": lambda s, d: dedup.jaccard_pairs(_docs(s, d), threshold=0.5),
         "dedup_components": lambda s, d: dedup.duplicate_components(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         # --- similarity search ---
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d), n_queries=20, k=5),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
@@ -364,6 +365,15 @@ def oracle_sql() -> dict[str, str]:
         "UNION "
         "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
         "SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node"
+    )
+    # Brute-force quadratic twin of the engine's pigeonhole-blocked
+    # simhash_pairs: the gate match proves the blocking is lossless.
+    simhash_pairs_sql = (
+        "WITH s AS (" + simhash_sql + ") "
+        "SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
     jaccard_sql = (
         "WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
@@ -602,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_sql,
         "dedup_components": components_sql,
         "dedup_simhash": simhash_sql,
+        "dedup_simhash_pairs": simhash_pairs_sql,
         "dedup_jaccard": jaccard_sql,
         "ann_cosine_topk": cosine_sql,
         "ann_lsh_buckets": lsh_buckets_sql,

@@ -71,6 +71,7 @@ def main() -> None:
         "dedup_components",
         "dedup_exact",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -251,6 +251,52 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """(a_doc_id, b_doc_id, hamming): pairs whose SimHash signatures are
+    within ``max_hamming`` bits — near-dup candidates refined EXACTLY.
+
+    Scale shape (pigeonhole blocking): any two signatures within
+    ``max_hamming`` < ``n_bands`` bits agree on at least one of the
+    ``n_bands`` bit-bands, so candidates come from ``n_bands`` cheap
+    band equi-joins (shuffle on (band, value), AQE skew backstop), never
+    an all-pairs scan; the exact ``bit_count(xor)`` refine then makes
+    blocking LOSSLESS — the oracle for this operator is the quadratic
+    brute-force SQL and must match bit-for-bit."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole blocking needs max_hamming < n_bands")
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sig = simhash(docs, bits).localCheckpoint()  # built once, used by both sides
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * band_width)
+            .bitwiseAND(F.lit(mask))
+            .alias("val"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.val")
+    a = bands.select(
+        F.col("doc_id").alias("a_doc_id"), F.col("simhash").alias("a_sig"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_doc_id"), F.col("simhash").alias("b_sig"), "band", "val"
+    )
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("a_doc_id") < F.col("b_doc_id"))
+        .where(hamming <= F.lit(max_hamming))
+        .select("a_doc_id", "b_doc_id", hamming.alias("hamming"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """(a_doc_id, b_doc_id, jaccard): exact token-set Jaccard >= threshold.
 

@@ -179,3 +179,29 @@ def test_duplicate_components_from_lsh(spark):
     assert got[1] == 1 and got[2] == 1  # exact dups share all bands
     assert got[4] == 4 and got[5] == 5  # singletons keep their own id
     assert set(got) == {1, 2, 3, 4, 5}  # output is a partition of the corpus
+
+
+def test_simhash_pairs_blocking_is_lossless(spark):
+    """Pigeonhole-blocked pairs == brute-force popcount pairs."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [" ".join(words)] * 2 + [
+        " ".join(words[:-1] + ["iota"]),
+        " ".join(reversed(words)),
+        "completely different content with other tokens entirely",
+        "short text",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    brute = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                brute.add((a, b, bin(sigs[a] ^ sigs[b]).count("1")))
+    got = {
+        (r.a_doc_id, r.b_doc_id, r.hamming)
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert got == brute
+    assert (0, 1, 0) in got  # identical docs at hamming 0
