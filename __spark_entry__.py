@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
+        "agg_top_orders": _top_orders,
     }
 
 
@@ -223,6 +224,38 @@ def _interleaved_join_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rects.queries_knn(spark, sf_dir).select(
         F.col("query_id").alias("point_id"), "x", "y"
+    )
+
+
+def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem → top-10 revenue.
+    Exercises multi-join planning (two broadcastable dims on a fact
+    scan) + decimal-exact aggregation + deterministic top-k (revenue
+    DESC, orderkey ties).  Dims broadcast at any scale; the only shuffle
+    is the groupBy(orderkey) with map-side partials."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _lineitem(spark, sf_dir).where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    dec = "decimal(18,4)"
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast(dec)
+            * (F.lit(1.0).cast(dec) - F.col("l_discount").cast(dec))
+        ).cast("decimal(28,8)")
+    )
+    joined = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderdate", "o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
     )
 
 
@@ -709,6 +742,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM flagged) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
             "FROM sessed GROUP BY user_id, session_id"
+        ),
+        "agg_top_orders": (
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) "
+            "- CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
