@@ -82,6 +82,7 @@ def main() -> None:
         "events_hourly",
         "events_sessionize",
         "agg_pricing_summary",
+        "agg_top_orders",
     ]
     # Warmup pass: JIT the JVM, spin up Python UDF workers, prime the
     # parquet footer/page caches — measures the engine, not JVM startup.
