@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": lambda s, d: multimodal.extract_features(
             multimodal.attach_media(_docs(s, d))
         ).select("doc_id", "kind", "n_bytes", "checksum"),
+        "multimodal_decode": lambda s, d: multimodal.decode_features(
+            multimodal.attach_real_media(_docs(s, d))
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_media(
             multimodal.attach_media(_docs(s, d)), factor=4
         ).select("doc_id", "kind", "n_bytes", "resized_bytes"),
@@ -700,6 +703,33 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(generate_series(1, length(text)), "
             "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
             "(acc, c) -> acc + c) % 2147483648 AS checksum FROM documents"
+        ),
+        # Closed-form twin of the REAL decoder (WAV chunk walk / BMP row
+        # padding / VID0): every decoded header field and content sum is
+        # pure doc_id arithmetic, recomputed here without touching bytes.
+        "multimodal_decode": (
+            "WITH aud AS (SELECT doc_id, 'audio' AS kind, "
+            "CAST(8000 + (doc_id % 8) * 1000 AS INT) AS meta_a, "
+            "CAST(64 + doc_id % 128 AS INT) AS meta_b, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(generate_series(0, 64 + doc_id % 128 - 1), "
+            "i -> (doc_id * 31 + i * 7) % 4096 - 2048)), (a, b) -> a + b) AS content_sum "
+            "FROM documents WHERE doc_id % 3 = 1), "
+            "img0 AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 9 AS h "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "imgpx AS (SELECT doc_id, w, h, unnest(generate_series(0, w * 3 * h - 1)) AS t FROM img0), "
+            "img AS (SELECT doc_id, 'image' AS kind, CAST(MAX(w) AS INT) AS meta_a, "
+            "CAST(MAX(h) AS INT) AS meta_b, "
+            "CAST(SUM((doc_id + 3 * (CAST(FLOOR(t / 3.0) AS BIGINT) % w) "
+            "+ 7 * CAST(FLOOR(t / (3.0 * w)) AS BIGINT) + 11 * (t % 3)) % 256) AS BIGINT) "
+            "AS content_sum FROM imgpx GROUP BY doc_id), "
+            "vid AS (SELECT doc_id, 'video' AS kind, CAST(32 AS INT) AS meta_a, "
+            "CAST(1 + doc_id % 7 AS INT) AS meta_b, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(generate_series(0, (1 + doc_id % 7) * 32 - 1), "
+            "j -> (doc_id + j) % 256)), (a, b) -> a + b) AS content_sum "
+            "FROM documents WHERE doc_id % 3 = 2) "
+            "SELECT * FROM aud UNION ALL SELECT * FROM img UNION ALL SELECT * FROM vid"
         ),
         "multimodal_resize": (
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "

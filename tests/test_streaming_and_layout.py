@@ -306,3 +306,43 @@ def test_stream_dedup_events_drops_redeliveries(spark, tmp_path):
     # value-level agreement with the batch side
     merged = got.join(events.select("event_id", F.col("value").alias("v_b")), "event_id")
     assert merged.where(F.col("value") != F.col("v_b")).count() == 0
+
+
+def test_real_media_decode_roundtrip(spark):
+    import pytest
+    """attach_real_media emits genuine WAV/BMP/VID0 bytes; decode_features
+    recovers header fields and content sums exactly."""
+    import numpy as np
+
+    from rtree_cpp_spark.operators.multimodal import (
+        attach_real_media,
+        decode_features,
+        decode_media,
+        _bmp_bytes,
+        _wav_bytes,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(30))}))
+    got = decode_features(attach_real_media(docs)).toPandas().set_index("doc_id")
+    for d in range(30):
+        r = got.loc[d]
+        if d % 3 == 1:  # audio
+            assert r["kind"] == "audio" and r["meta_a"] == 8000 + (d % 8) * 1000
+            n = 64 + d % 128
+            i = np.arange(n, dtype=np.int64)
+            assert r["meta_b"] == n
+            assert r["content_sum"] == ((d * 31 + i * 7) % 4096 - 2048).sum()
+        elif d % 3 == 0:  # image: includes widths with and without row padding
+            w, h = 4 + d % 13, 3 + d % 9
+            assert (r["meta_a"], r["meta_b"]) == (w, h)
+    # BMP row padding is actually exercised: some widths need pad, some don't
+    pads = {(-(4 + d % 13) * 3) % 4 for d in range(0, 30, 3)}
+    assert 0 in pads and len(pads) > 1
+    # malformed payloads fail loudly
+    with pytest.raises(ValueError):
+        decode_media("image", b"not a container at all")
+    with pytest.raises(ValueError):
+        decode_media("audio", _wav_bytes(1)[:20])  # truncated: no data chunk
+    # decoder is format-sniffing, not kind-trusting: bytes win
+    out = decode_media("audio", _bmp_bytes(3))
+    assert out["meta_a"] == 4 + 3 % 13
