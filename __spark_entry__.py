@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": lambda s, d: dedup.jaccard_pairs(_docs(s, d), threshold=0.5),
         "dedup_components": lambda s, d: dedup.duplicate_components(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "pipeline_curation": lambda s, d: _curate(s, d),
         # --- similarity search ---
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d), n_queries=20, k=5),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
@@ -222,6 +223,12 @@ def _interleaved_join_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(sig_a, "a_doc_id").join(sig_b, "b_doc_id").select(
         "a_doc_id", "b_doc_id", "a_sig", "b_sig"
     )
+
+
+def _curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rtree_cpp_spark.operators.pipeline import curate
+
+    return curate(_docs(spark, sf_dir))
 
 
 def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,18 +374,25 @@ def oracle_sql() -> dict[str, str]:
         + ") AS bucket FROM sig"
         for b in range(dedup.N_BANDS)
     )
+    def _minhash_ctes(src: str) -> str:
+        """MinHash-LSH candidate pairs as a CTE chain over any source
+        relation ``src(doc_id, text)`` — ends with ``pairs``."""
+        return (
+            f"toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src} "
+            "WHERE len(string_split(text, ' ')) >= 3), "
+            "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
+            "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)), "
+            "h AS (SELECT doc_id, "
+            + _H64_DUCK.format(s="shingle")
+            + f" % {mh_p} AS hm FROM sh), "
+            f"sig AS (SELECT doc_id, {mh_mins} FROM h GROUP BY doc_id), "
+            f"bands AS ({mh_bands}), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bands a "
+            "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
+        )
+
     minhash_sql = (
-        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents "
-        "WHERE len(string_split(text, ' ')) >= 3), "
-        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
-        "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)), "
-        "h AS (SELECT doc_id, "
-        + _H64_DUCK.format(s="shingle")
-        + f" % {mh_p} AS hm FROM sh), "
-        f"sig AS (SELECT doc_id, {mh_mins} FROM h GROUP BY doc_id), "
-        f"bands AS ({mh_bands}) "
-        "SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bands a "
-        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        "WITH " + _minhash_ctes("documents") + " SELECT a_doc_id, b_doc_id FROM pairs"
     )
     simhash_sql = (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
@@ -392,15 +406,39 @@ def oracle_sql() -> dict[str, str]:
     # Duplicate clusters: min doc_id reachable through the LSH pair graph.
     # The oracle's recursive CTE IS the spec the engine's min-label
     # propagation + pointer jumping must converge to.
+    def _components_ctes(src: str) -> str:
+        """pairs → symmetric edges → min-reachable-label closure; ends
+        with ``comp(doc_id, component_id)``.  Requires RECURSIVE."""
+        return (
+            _minhash_ctes(src) + ", "
+            "edges AS (SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs "
+            "UNION ALL SELECT b_doc_id, a_doc_id FROM pairs), "
+            "reach(node, label) AS ("
+            f"SELECT doc_id, doc_id FROM {src} "
+            "UNION "
+            "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node), "
+            "comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node)"
+        )
+
     components_sql = (
-        "WITH RECURSIVE pairs AS (" + minhash_sql + "), "
-        "edges AS (SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs "
-        "UNION ALL SELECT b_doc_id, a_doc_id FROM pairs), "
-        "reach(node, label) AS ("
-        "SELECT doc_id, doc_id FROM documents "
-        "UNION "
-        "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
-        "SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node"
+        "WITH RECURSIVE " + _components_ctes("documents")
+        + " SELECT doc_id, component_id FROM comp"
+    )
+    # The composed curation pipeline: quality >= 0.5 -> exact-dup min-id
+    # survivor -> near-dup cluster representative.  Chains the SAME
+    # stage oracles over the same table (stage composition, not re-spec).
+    pipeline_sql = (
+        "WITH RECURSIVE q AS (SELECT doc_id, "
+        "ROUND(0.5e0 * LEAST(CAST(len(toks0) AS DOUBLE) / 100.0e0, 1.0e0) "
+        "+ 0.5e0 * (CAST(len(list_distinct(toks0)) AS DOUBLE) / CAST(len(toks0) AS DOUBLE)), 6) "
+        "AS quality FROM (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents) tt), "
+        "kept AS (SELECT d.doc_id, d.text, q.quality FROM documents d "
+        "JOIN q USING (doc_id) WHERE q.quality >= 0.5e0), "
+        "ek AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text), "
+        "surv AS (SELECT kept.doc_id, kept.text, kept.quality FROM kept JOIN ek USING (doc_id)), "
+        + _components_ctes("surv")
+        + " SELECT surv.doc_id, surv.quality FROM surv JOIN comp USING (doc_id) "
+        "WHERE comp.component_id = comp.doc_id"
     )
     # Brute-force quadratic twin of the engine's pigeonhole-blocked
     # simhash_pairs: the gate match proves the blocking is lossless.
@@ -647,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_lsh": minhash_sql,
         "dedup_components": components_sql,
+        "pipeline_curation": pipeline_sql,
         "dedup_simhash": simhash_sql,
         "dedup_simhash_pairs": simhash_pairs_sql,
         "dedup_jaccard": jaccard_sql,

@@ -72,6 +72,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_simhash",
         "dedup_simhash_pairs",
+        "pipeline_curation",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -205,3 +205,26 @@ def test_simhash_pairs_blocking_is_lossless(spark):
     }
     assert got == brute
     assert (0, 1, 0) in got  # identical docs at hamming 0
+
+
+def test_pipeline_curation_stages(spark):
+    """Each curation stage visibly acts: low-quality dropped, exact dups
+    collapsed to min id, near-dups collapsed to cluster representative,
+    unique docs kept."""
+    from rtree_cpp_spark.operators.pipeline import curate
+
+    rich = " ".join(f"w{i}" for i in range(40))          # high diversity + length
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                rich,                    # representative (min id of 1,2,3 cluster)
+                rich,                    # exact dup of 1 -> dropped at exact stage
+                rich + " extra",         # near-dup of 1 -> dropped at cluster stage
+                "spam " * 50,            # 1 distinct token of 50 -> low quality
+                " ".join(f"u{i}" for i in range(40)),  # unique survivor
+            ],
+        }
+    )
+    got = sorted(r.doc_id for r in curate(spark.createDataFrame(pdf)).collect())
+    assert got == [1, 5]
