@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
 from rtree_cpp_spark.operators import dedup, events, multimodal, similarity, text_analysis
-from rtree_cpp_spark.operators.knn import knn, knn_join, knn_kernel
+from rtree_cpp_spark.operators.knn import idw_interpolate, knn, knn_join, knn_kernel
 from rtree_cpp_spark.operators.pip_join import pip_join
 from rtree_cpp_spark.operators.range_query import contains_query, range_count, range_query
 from rtree_cpp_spark.operators.spatial_join import distance_join, spatial_join, spatial_join_salted
@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "spatial_contains": lambda s, d: contains_query(
             rects.rects_a(s, d), rects.queries_range(s, d), GRID
+        ),
+        "spatial_idw": lambda s, d: idw_interpolate(
+            rects.rects_a(s, d), rects.queries_knn(s, d), rects.rect_values(s, d), GRID, k=8
         ),
         "spatial_pip": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "closed"),
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
@@ -594,6 +597,20 @@ def oracle_sql() -> dict[str, str]:
         "spatial_knn": knn_sql,
         "spatial_knn_kernel": knn_sql,
         "spatial_knn_join": knn_join_sql,
+        "spatial_idw": (
+            f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}), "
+            f"v AS ({rects.RECT_VALUES_SQL}), "
+            f"scored AS (SELECT q.query_id, r.doc_id, {_SQDIST} AS sq_dist FROM q CROSS JOIN r), "
+            "ranked AS (SELECT query_id, doc_id, sq_dist, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sq_dist, doc_id) AS rnk FROM scored), "
+            "j AS (SELECT t.query_id, t.rnk, t.sq_dist, CAST(v.value AS DOUBLE) AS value "
+            "FROM (SELECT * FROM ranked WHERE rnk <= 8) t JOIN v USING (doc_id)), "
+            "per AS (SELECT query_id, "
+            "list_reduce(list_prepend(0e0, list(value / (1e0 + sq_dist) ORDER BY rnk)), (a, b) -> a + b) AS num, "
+            "list_reduce(list_prepend(0e0, list(1e0 / (1e0 + sq_dist) ORDER BY rnk)), (a, b) -> a + b) AS den, "
+            "CAST(COUNT(*) AS INT) AS n_neighbors FROM j GROUP BY query_id) "
+            "SELECT query_id, num / den AS idw_value, n_neighbors FROM per"
+        ),
         "spatial_contains": (
             f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
             "SELECT q.query_id, a.doc_id FROM q JOIN a "

@@ -59,6 +59,7 @@ def main() -> None:
         "spatial_knn_kernel",
         "spatial_knn_join",
         "spatial_contains",
+        "spatial_idw",
         "spatial_pip",
         "interleaved_join_spans",
         "tiles_cover",

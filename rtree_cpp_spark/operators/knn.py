@@ -214,3 +214,50 @@ def knn_join(
         F.lit(k).alias("k"),
     )
     return knn(b_rects, centroids, grid, initial_radius, ranker)
+
+
+def idw_interpolate(
+    data_rects: DataFrame,
+    queries: DataFrame,
+    values: DataFrame,
+    grid: Grid,
+    k: int = 8,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at query points — the
+    spatial-analytics composition on top of exact kNN: estimate a field
+    value at each query point from its k nearest docs' values.
+
+        idw(q) = sum_i v_i / (1 + d2_i)  /  sum_i 1 / (1 + d2_i)
+
+    over the k nearest (reference squared-distance P4, no sqrt; the +1
+    regularizer keeps exact hits finite).  Both folds run in RANK order
+    (array_sort on (rank, ...) then a left fold), so the double result
+    is bit-identical to the oracle's ORDER BY rnk list_reduce — FP
+    addition order is pinned, not left to partitioning.
+
+    ``values`` is (doc_id, value).  Scale shape: one kNN (disk-doubling
+    rounds) + one broadcastable value join + one groupBy(query_id) whose
+    input is <= k rows per query."""
+    qk = queries.select("query_id", "x", "y").withColumn("k", F.lit(k))
+    nn = knn(data_rects, qk, grid)
+    withv = nn.join(values, "doc_id").select(
+        "query_id",
+        F.struct(
+            F.col("rank").alias("rank"),
+            F.col("sq_dist").cast("double").alias("sq_dist"),
+            F.col("value").cast("double").alias("value"),
+        ).alias("s"),
+    )
+    folded = withv.groupBy("query_id").agg(
+        F.array_sort(F.collect_list("s")).alias("arr"),
+        F.count("*").alias("n_neighbors"),
+    )
+    num = F.aggregate(
+        "arr", F.lit(0.0), lambda acc, s: acc + s["value"] / (F.lit(1.0) + s["sq_dist"])
+    )
+    den = F.aggregate(
+        "arr", F.lit(0.0), lambda acc, s: acc + F.lit(1.0) / (F.lit(1.0) + s["sq_dist"])
+    )
+    return folded.select(
+        "query_id", (num / den).alias("idw_value"), F.col("n_neighbors").cast("int").alias("n_neighbors")
+    )

@@ -54,6 +54,14 @@ RECTS_A_SUBSET_SQL = _rect_sql(
     "(SELECT o_orderkey FROM orders WHERE o_orderkey % 29 = 0) t", "o_orderkey", "A", 1
 )
 
+# Deterministic per-doc field value (for zonal/interpolation analytics):
+# same doc_ids as RECTS_A_SQL, value = pure key arithmetic.
+RECT_VALUES_SQL = (
+    "SELECT CONCAT('A', CAST(o_orderkey AS STRING)) AS doc_id, "
+    f"(o_orderkey * {_K}) % 1000 AS value FROM orders"
+)
+
+
 # Range queries from nation (25 rows): mixed sizes incl. huge boxes.
 QUERIES_RANGE_SQL = (
     "SELECT CONCAT('R', CAST(n_nationkey AS STRING)) AS query_id, "
@@ -153,6 +161,11 @@ def rects_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rects_a_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_views(spark, sf_dir)
     return spark.sql(RECTS_A_SUBSET_SQL)
+
+
+def rect_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_views(spark, sf_dir)
+    return spark.sql(RECT_VALUES_SQL)
 
 
 def queries_range(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,3 +271,46 @@ def test_tile_pyramid_rollup(spark, rects_a_df, rects_a_pdf):
     pcell = (child["cell"] // grid.n // 2) * (grid.n // 2) + (child["cell"] % grid.n) // 2
     rolled = child.groupby(pcell)["n_docs"].sum()
     assert lvl5.sort_index().equals(rolled.sort_index().rename("n_docs"))
+
+
+def test_idw_interpolate_vs_brute(spark, rects_a_df, rects_a_pdf):
+    from rtree_cpp_spark.operators.knn import idw_interpolate
+
+    grid = Grid(6)
+    rng = np.random.default_rng(7)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"Q{i}" for i in range(12)],
+            "x": np.round(rng.uniform(0, 1024, 12) * 4) / 4,
+            "y": np.round(rng.uniform(0, 1024, 12) * 4) / 4,
+        }
+    )
+    vals = pd.DataFrame(
+        {
+            "doc_id": rects_a_pdf["doc_id"],
+            "value": (np.arange(len(rects_a_pdf)) * 37) % 1000,
+        }
+    )
+    k = 5
+    got = (
+        idw_interpolate(
+            rects_a_df, spark.createDataFrame(qpdf), spark.createDataFrame(vals), grid, k=k
+        )
+        .toPandas()
+        .set_index("query_id")
+    )
+    v_by_doc = dict(zip(vals["doc_id"], vals["value"].astype(float)))
+    r = rects_a_pdf
+    for _, qr in qpdf.iterrows():
+        dx = np.maximum(np.maximum(r["min_x"] - qr.x, qr.x - r["max_x"]), 0.0)
+        dy = np.maximum(np.maximum(r["min_y"] - qr.y, qr.y - r["max_y"]), 0.0)
+        d2 = (dx * dx + dy * dy).to_numpy(dtype=np.float64)
+        order = sorted(range(len(r)), key=lambda i: (d2[i], r["doc_id"].iloc[i]))[:k]
+        num = den = 0.0
+        for i in order:
+            w = 1.0 / (1.0 + d2[i])
+            num += v_by_doc[r["doc_id"].iloc[i]] * w
+            den += w
+        row = got.loc[qr.query_id]
+        assert row["n_neighbors"] == k
+        assert abs(row["idw_value"] - num / den) < 1e-9
