@@ -29,6 +29,7 @@ from rtree_cpp_spark.operators.range_query import contains_query, range_count, r
 from rtree_cpp_spark.operators.spatial_join import distance_join, spatial_join, spatial_join_salted
 from rtree_cpp_spark.operators.tiles import (
     cover_tiles,
+    hot_cells,
     primary_tiles,
     tile_pyramid,
     tile_stats,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
         "tiles_zonal_stats": lambda s, d: zonal_stats(rects.rects_a(s, d), _raster(s), GRID),
         "tiles_pyramid": lambda s, d: tile_pyramid(rects.rects_a(s, d), GRID),
+        "tiles_hot_cells": lambda s, d: hot_cells(rects.rects_a(s, d), GRID, k=20),
         "spatial_distance_join": lambda s, d: distance_join(
             rects.rects_a_subset(s, d), rects.rects_b(s, d), GRID, max_dist=8.0
         ),
@@ -676,6 +678,23 @@ def oracle_sql() -> dict[str, str]:
                 for lvl in range(GRID.level, -1, -1)
             )
             + ") SELECT level, cell, CAST(SUM(n) AS BIGINT) AS n_docs FROM lv GROUP BY level, cell"
+        ),
+        "tiles_hot_cells": (
+            f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE}, "
+            f"base AS (SELECT cx * {GRID.n} + cy AS cell, COUNT(*) AS n_docs FROM gxy GROUP BY 1), "
+            f"b2 AS (SELECT CAST(FLOOR(cell / {GRID.n}.0) AS BIGINT) AS cx, cell % {GRID.n} AS cy, "
+            "n_docs FROM base), "
+            "nb AS (SELECT (b2.cx + dx.d) AS nx, (b2.cy + dy.d) AS ny, b2.n_docs "
+            "FROM b2, (SELECT unnest(generate_series(-1, 1)) AS d) dx, "
+            "(SELECT unnest(generate_series(-1, 1)) AS d) dy "
+            f"WHERE b2.cx + dx.d BETWEEN 0 AND {GRID.n - 1} "
+            f"AND b2.cy + dy.d BETWEEN 0 AND {GRID.n - 1}), "
+            f"sm AS (SELECT nx * {GRID.n} + ny AS cell, SUM(n_docs) AS smoothed FROM nb GROUP BY 1), "
+            "ranked AS (SELECT sm.cell, COALESCE(base.n_docs, 0) AS n_docs, sm.smoothed, "
+            "ROW_NUMBER() OVER (ORDER BY sm.smoothed DESC, sm.cell) AS rnk "
+            "FROM sm LEFT JOIN base USING (cell)) "
+            "SELECT cell, CAST(n_docs AS BIGINT) AS n_docs, CAST(smoothed AS BIGINT) AS smoothed, "
+            'CAST(rnk AS INT) AS "rank" FROM ranked WHERE rnk <= 20'
         ),
         "tiles_zonal_stats": (
             f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE}, "

@@ -66,6 +66,7 @@ def main() -> None:
         "tile_stats",
         "tiles_zonal_stats",
         "tiles_pyramid",
+        "tiles_hot_cells",
         "spatial_distance_join",
         "layout_occupancy",
         "dedup_minhash_lsh",

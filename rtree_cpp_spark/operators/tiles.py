@@ -98,6 +98,55 @@ def tile_pyramid(data_rects: DataFrame, grid: Grid) -> DataFrame:
     )
 
 
+def hot_cells(data_rects: DataFrame, grid: Grid, k: int = 20) -> DataFrame:
+    """(cell, n_docs, smoothed, rank): the k hottest cells by 3×3
+    neighborhood-smoothed cover occupancy — the heatmap/hotspot query a
+    tile service runs (and the observable the salting census watches).
+
+    Scale shape: ONE O(docs) shuffle (base cover groupBy); the 9-way
+    neighbor spread and the smoothing aggregate run on the O(cells)
+    per-cell table; top-k is a window over O(cells).  Border cells clip
+    their neighborhood (no wraparound).  An empty cell with hot
+    neighbors still ranks (n_docs = 0)."""
+    base = (
+        cover_tiles(data_rects, grid)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    n = grid.n
+    cx = F.floor(F.col("cell") / F.lit(n)).cast("long")
+    cy = F.col("cell") % F.lit(n)
+    spread = F.array(
+        *[
+            F.when(
+                (cx + dx >= 0) & (cx + dx < n) & (cy + dy >= 0) & (cy + dy < n),
+                (cx + dx) * F.lit(n) + (cy + dy),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    smoothed = (
+        base.select(F.explode(spread).alias("cell"), "n_docs")
+        .where(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(F.sum("n_docs").alias("smoothed"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("smoothed").desc(), F.col("cell"))
+    return (
+        smoothed.join(base, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            "smoothed",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def zonal_stats(data_rects: DataFrame, raster: DataFrame, grid: Grid) -> DataFrame:
     """Raster→vector ZONAL STATISTICS: per-doc aggregates of the raster
     cells its rect covers — the overlay direction `cover_tiles` only

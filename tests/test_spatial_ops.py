@@ -314,3 +314,29 @@ def test_idw_interpolate_vs_brute(spark, rects_a_df, rects_a_pdf):
         row = got.loc[qr.query_id]
         assert row["n_neighbors"] == k
         assert abs(row["idw_value"] - num / den) < 1e-9
+
+
+def test_hot_cells_smoothing_vs_brute(spark, rects_a_df, rects_a_pdf):
+    from rtree_cpp_spark.operators.tiles import hot_cells
+
+    grid = Grid(6)
+    got = hot_cells(rects_a_df, grid, k=15).toPandas()
+    # brute: 2-D histogram of cover counts, 3x3 box filter with border clip
+    counts = np.zeros((grid.n, grid.n), dtype=np.int64)
+    cov = brute.tiles_cover_brute(rects_a_pdf, grid)
+    for cell in cov["cell"]:
+        counts[cell // grid.n][cell % grid.n] += 1
+    sm = np.zeros_like(counts)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            src = counts[
+                max(0, -dx) : grid.n - max(0, dx), max(0, -dy) : grid.n - max(0, dy)
+            ]
+            sm[max(0, dx) : grid.n + min(0, dx), max(0, dy) : grid.n + min(0, dy)] += src
+    order = sorted(
+        ((int(sm[x][y]), x * grid.n + y) for x in range(grid.n) for y in range(grid.n) if sm[x][y] > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:15]
+    assert [(r.smoothed, r.cell) for r in got.itertuples()] == order
+    for r in got.itertuples():
+        assert r.n_docs == counts[r.cell // grid.n][r.cell % grid.n]
