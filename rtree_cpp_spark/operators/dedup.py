@@ -288,12 +288,23 @@ def simhash_pairs(
         F.col("doc_id").alias("b_doc_id"), F.col("simhash").alias("b_sig"), "band", "val"
     )
     hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    # Exactly-once without a distinct shuffle: a pair can meet in up to
+    # n_bands buckets, but both sigs are present in the joined row, so
+    # the FIRST band on which they agree is computable in codegen — keep
+    # the pair only there (the band-join analog of reference-point dedup).
+    xor = F.col("a_sig").bitwiseXOR(F.col("b_sig"))
+    first_band = F.lit(None).cast("int")
+    for bb in range(n_bands - 1, -1, -1):
+        eq = (
+            F.shiftrightunsigned(xor, bb * band_width).bitwiseAND(F.lit(mask)) == 0
+        )
+        first_band = F.when(eq, F.lit(bb)).otherwise(first_band)
     return (
         a.join(b, ["band", "val"])
         .where(F.col("a_doc_id") < F.col("b_doc_id"))
         .where(hamming <= F.lit(max_hamming))
+        .where(F.col("band") == first_band)
         .select("a_doc_id", "b_doc_id", hamming.alias("hamming"))
-        .distinct()
     )
 
 
