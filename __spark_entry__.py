@@ -154,6 +154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _embeddings(s, d), n_queries=20, k=5, n_centroids=16, n_probe=4
         ),
+        "ann_ivf_trained_topk": lambda s, d: similarity.ivf_topk(
+            _embeddings(s, d), n_queries=20, k=5, n_centroids=16, n_probe=4,
+            centroids=similarity.ivf_train(_embeddings(s, d), n_centroids=16, n_iters=2)
+            .select("cent_id", F.col("centroid").alias("c_emb")),
+        ),
         "dedup_embedding": lambda s, d: similarity.embedding_neardup(_embeddings(s, d), threshold=0.4),
         # --- text analysis ---
         "text_token_stats": lambda s, d: text_analysis.token_stats(_docs(s, d)),
@@ -569,6 +574,13 @@ def oracle_sql() -> dict[str, str]:
             + f" SELECT cent_id, c_emb AS centroid FROM c{n_iters}"
         )
 
+    # train→serve composition: same topk plan, centroid CTE swapped for
+    # the k-means-trained table (assignment AND probing both use it)
+    ivf_trained_topk_sql = ivf_topk_sql.replace(
+        "cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM e WHERE vec_id < 16), ",
+        "cent AS (SELECT cent_id, centroid AS c_emb FROM (" + _ivf_train_sql() + ") tc), ",
+    )
+    assert ivf_trained_topk_sql != ivf_topk_sql
     neardup_sql = (
         "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
         "p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, "
@@ -731,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_assign": ivf_assign_sql,
         "ann_ivf_topk": ivf_topk_sql,
         "ann_ivf_train": _ivf_train_sql(),
+        "ann_ivf_trained_topk": ivf_trained_topk_sql,
         "dedup_embedding": neardup_sql,
         "text_token_stats": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "

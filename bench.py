@@ -78,6 +78,7 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivf_trained_topk",
         "text_quality",
         "text_bpe_tokens",
         "text_rolling_hash",

@@ -146,16 +146,20 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFram
     return pairs.where(F.col("cos_sim") >= threshold).select("a_vec_id", "b_vec_id", "cos_sim")
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, centroids: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, cent_id): IVF coarse quantization — nearest centroid by
-    squared L2, tie-break cent_id.  Centroids are the first
-    ``n_centroids`` vectors (deterministic; a k-means refinement would
-    only change the centroid table, not this assignment plan).  At scale
-    this is a broadcast map-side pass: N x n_centroids distance folds,
-    no shuffle until the per-vector argmin window."""
+    squared L2, tie-break cent_id.  Default centroids are the first
+    ``n_centroids`` vectors (deterministic seeds); pass ``centroids``
+    (cent_id, c_emb) — e.g. ``ivf_train`` output — for the trained
+    quantizer.  At scale this is a broadcast map-side pass: N x
+    n_centroids distance folds, no shuffle until the argmin window."""
     fold_sqdiff = _fold_sqdiff_udf()
     cent = F.broadcast(
-        embeddings.where(F.col("vec_id") < n_centroids).select(
+        centroids
+        if centroids is not None
+        else embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
         )
     )
@@ -243,16 +247,22 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: queries probe their ``n_probe`` nearest centroid lists,
     exact cosine rank within the probed lists (recall < 1 by design) —
-    the inverted-file scale path next to ``lsh_topk``."""
+    the inverted-file scale path next to ``lsh_topk``.  Pass
+    ``centroids`` (cent_id, c_emb) to serve from a TRAINED quantizer
+    (``ivf_train`` output) — assignment and probing both use it, the
+    train→serve composition of a production ANN index."""
     fold_dot = _fold_dot_udf()
     fold_sqdiff = _fold_sqdiff_udf()
-    assign = ivf_assign(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, n_centroids, centroids)
     emb = embeddings.join(assign, "vec_id")
     cent = F.broadcast(
-        embeddings.where(F.col("vec_id") < n_centroids).select(
+        centroids
+        if centroids is not None
+        else embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
         )
     )

@@ -228,3 +228,32 @@ def test_pipeline_curation_stages(spark):
     )
     got = sorted(r.doc_id for r in curate(spark.createDataFrame(pdf)).collect())
     assert got == [1, 5]
+
+
+def test_ivf_trained_topk_composition(spark):
+    """Serving from trained centroids: every vector assigned, each query
+    gets exactly k ranked neighbors, and results differ from the
+    seed-centroid index only via the quantizer (recall shape intact)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from rtree_cpp_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(60),
+                "embedding": [rng.normal(size=8).astype("float32").tolist() for _ in range(60)],
+            }
+        )
+    )
+    trained = similarity.ivf_train(emb, n_centroids=4, n_iters=2).select(
+        "cent_id", F.col("centroid").alias("c_emb")
+    )
+    asg = similarity.ivf_assign(emb, 4, trained).toPandas()
+    assert len(asg) == 60 and asg["vec_id"].is_unique
+    top = similarity.ivf_topk(emb, n_queries=5, k=3, n_centroids=4, n_probe=2, centroids=trained).toPandas()
+    assert sorted(top.groupby("query_vec_id")["rank"].apply(list).iloc[0]) == [1, 2, 3]
+    assert top.groupby("query_vec_id").size().eq(3).all()
