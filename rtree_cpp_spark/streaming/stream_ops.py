@@ -158,6 +158,77 @@ def run_stream_dedup_once(
     q.awaitTermination()
 
 
+SESSION_OUTPUT = (
+    "user_id long, session_id long, n_events long, start_ts timestamp, end_ts timestamp"
+)
+SESSION_STATE = "session_id long, n_events long, start_us long, end_us long"
+
+
+def _sessionize_update_factory(gap_us: int):
+    """Per-user stateful kernel: carries the OPEN session across
+    micro-batches; a gap > ``gap_us`` closes it and starts the next.
+    Emits the latest snapshot of every session it touched (update-mode
+    semantics: downstream keeps the last emission per key)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            sid, n, st, en = state.get
+        else:
+            sid, n, st, en = 0, 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        us = batch["ts"].astype("int64") // 1000  # ns -> us
+        rows = []
+        for t in us:
+            t = int(t)
+            if n == 0 or t - en > gap_us:
+                if n > 0:
+                    rows.append((sid, n, st, en))  # close previous session
+                sid, n, st, en = sid + 1, 1, t, t
+            else:
+                n, en = n + 1, t
+        state.update((sid, n, st, en))
+        rows.append((sid, n, st, en))  # open session's latest snapshot
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "session_id": [r[0] for r in rows],
+                "n_events": [r[1] for r in rows],
+                "start_ts": [pd.Timestamp(r[2], unit="us") for r in rows],
+                "end_ts": [pd.Timestamp(r[3], unit="us") for r in rows],
+            }
+        )
+
+    return update
+
+
+def stream_sessionize(events_stream: DataFrame, gap_s: float | None = None) -> DataFrame:
+    """Streaming gap-based sessionization — the custom stateful operator
+    (applyInPandasWithState) twin of batch ``events.sessionize``: state
+    per user is ONE open session (4 longs, bounded regardless of stream
+    length); each micro-batch extends or closes it.
+
+    Correct when per-user event time is non-decreasing across
+    micro-batches (time-ordered feeds); a disordered source needs a
+    watermark + in-batch sort upstream, same caveat as any
+    session-window operator.  Downstream consumes update-mode output by
+    keeping the LAST emission per (user_id, session_id)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from rtree_cpp_spark.operators.events import SESSION_GAP_S
+
+    gap_us = int((gap_s if gap_s is not None else SESSION_GAP_S) * 1_000_000)
+    return events_stream.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandasWithState(
+        _sessionize_update_factory(gap_us),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_events_hourly(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup: late events beyond the
     watermark are dropped; state is bounded by watermark horizon."""

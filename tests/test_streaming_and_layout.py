@@ -346,3 +346,68 @@ def test_real_media_decode_roundtrip(spark):
     # decoder is format-sniffing, not kind-trusting: bytes win
     out = decode_media("audio", _bmp_bytes(3))
     assert out["meta_a"] == 4 + 3 % 13
+
+
+def test_stream_sessionize_matches_batch_across_batches(spark, tmp_path):
+    """Sessions split across micro-batches merge correctly: two
+    time-ordered files, maxFilesPerTrigger=1, last update-mode emission
+    per (user, session) == batch sessionize of the full event set."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as FF
+
+    from rtree_cpp_spark.operators.events import sessionize
+    from rtree_cpp_spark.streaming.stream_ops import stream_sessionize
+
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .orderBy("ts", "event_id")
+        .limit(3000)
+        .cache()
+    )
+    pdf = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    half = len(pdf) // 2
+    # split strictly by time so per-user order holds across batches
+    while half < len(pdf) and pdf["ts"].iloc[half] == pdf["ts"].iloc[half - 1]:
+        half += 1
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: df.withColumn("batch_id", FF.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out).toPandas()
+    assert emitted["batch_id"].nunique() == 2  # sessions really crossed batches
+    last = (
+        emitted.sort_values("batch_id")
+        .groupby(["user_id", "session_id"])
+        .last()
+        .reset_index()
+    )
+    exp = sessionize(events).toPandas()
+    cols = ["user_id", "session_id", "n_events", "start_ts", "end_ts"]
+    g = last[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    e = exp[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
