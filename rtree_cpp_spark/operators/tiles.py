@@ -134,17 +134,23 @@ def hot_cells(data_rects: DataFrame, grid: Grid, k: int = 20) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("smoothed").desc(), F.col("cell"))
-    return (
+    # Global top-k via orderBy+limit -> TakeOrderedAndProject: each
+    # partition keeps k rows, the driver merges — no single-partition
+    # sort of the whole cell table (a global row_number window would
+    # funnel O(cells) rows through one task at planetary resolutions).
+    # The rank window then runs over the k survivors only.
+    top = (
         smoothed.join(base, "cell", "left")
         .select(
             "cell",
             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
             "smoothed",
         )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .orderBy(F.col("smoothed").desc(), F.col("cell"))
+        .limit(k)
     )
+    w = Window.orderBy(F.col("smoothed").desc(), F.col("cell"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def zonal_stats(data_rects: DataFrame, raster: DataFrame, grid: Grid) -> DataFrame:
