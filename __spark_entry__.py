@@ -249,10 +249,11 @@ def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem → top-10 revenue.
-    Exercises multi-join planning (two broadcastable dims on a fact
-    scan) + decimal-exact aggregation + deterministic top-k (revenue
-    DESC, orderkey ties).  Dims broadcast at any scale; the only shuffle
-    is the groupBy(orderkey) with map-side partials."""
+    Exercises multi-join planning + decimal-exact aggregation +
+    deterministic top-k (revenue DESC, orderkey ties).  Join strategy is
+    left to AQE: customer (a true dim) broadcasts when it fits; the
+    date-filtered orders side is FACT-sized and must be allowed to fall
+    back to a shuffle join at larger scale factors — no forced hints."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -268,9 +269,9 @@ def _top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(28,8)")
     )
     joined = li.join(
-        F.broadcast(orders.select("o_orderkey", "o_orderdate", "o_custkey")),
+        orders.select("o_orderkey", "o_orderdate", "o_custkey"),
         F.col("l_orderkey") == F.col("o_orderkey"),
-    ).join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+    ).join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(rev.cast("double").alias("revenue"))

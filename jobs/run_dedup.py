@@ -35,6 +35,8 @@ def main() -> None:
     p.add_argument("--num-parts", type=int, default=64,
                    help="hash-partition count for lineage granularity")
     args = p.parse_args()
+    if args.num_parts <= 0:
+        p.error(f"--num-parts must be positive, got {args.num_parts}")
 
     spark = build_session("rtree-spark-dedup", args)
     docs = spark.read.parquet(args.input)

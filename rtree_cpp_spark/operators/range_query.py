@@ -120,13 +120,18 @@ def range_query_layout(
 
     Pruning on the MBR (not the coarse cell box) is what makes it sound:
     docs are placed by centroid and can overhang their partition, exactly
-    as R-tree node MBRs overhang their STR slab.  Queries are tiny by
-    contract (S2, broadcast side) — the prune set is computed driver-side
-    from the O(coarse cells) stats table."""
-    from rtree_cpp_spark.plans.layout import prune_partitions_for_queries, read_layout
+    as R-tree node MBRs overhang their STR slab.  Pruning is EXCLUSION-
+    based: only partitions a stats row proves disjoint are dropped, so
+    missing stats (legacy layout, crash window) degrade to extra I/O,
+    never to missing results.  Queries are tiny by contract (S2,
+    broadcast side) — the prune set is computed driver-side from the
+    O(coarse cells) stats table."""
+    from rtree_cpp_spark.plans.layout import excluded_partitions_for_queries, read_layout
 
-    surviving = prune_partitions_for_queries(spark, layout_path, queries.toPandas())
-    data = read_layout(spark, layout_path).where(F.col("coarse_cell").isin(surviving))
+    excluded = excluded_partitions_for_queries(spark, layout_path, queries.toPandas())
+    data = read_layout(spark, layout_path)
+    if excluded:
+        data = data.where(~F.col("coarse_cell").isin(excluded))
     return range_query(
         data.select("doc_id", "min_x", "min_y", "max_x", "max_y"), queries, grid
     )

@@ -146,6 +146,21 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFram
     return pairs.where(F.col("cos_sim") >= threshold).select("a_vec_id", "b_vec_id", "cos_sim")
 
 
+def _centroid_table(
+    embeddings: DataFrame, n_centroids: int, centroids: DataFrame | None
+):
+    """Broadcast centroid table (cent_id, c_emb): the trained table when
+    given, else the deterministic first-``n_centroids`` seed vectors.
+    Single definition so assignment and probing can never diverge."""
+    return F.broadcast(
+        centroids
+        if centroids is not None
+        else embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, n_centroids: int = 16, centroids: DataFrame | None = None
 ) -> DataFrame:
@@ -156,13 +171,7 @@ def ivf_assign(
     quantizer.  At scale this is a broadcast map-side pass: N x
     n_centroids distance folds, no shuffle until the argmin window."""
     fold_sqdiff = _fold_sqdiff_udf()
-    cent = F.broadcast(
-        centroids
-        if centroids is not None
-        else embeddings.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-        )
-    )
+    cent = _centroid_table(embeddings, n_centroids, centroids)
     scored = embeddings.select("vec_id", "embedding").crossJoin(cent).withColumn(
         "l2", fold_sqdiff(F.col("embedding"), F.col("c_emb"))
     )
@@ -259,13 +268,7 @@ def ivf_topk(
     fold_sqdiff = _fold_sqdiff_udf()
     assign = ivf_assign(embeddings, n_centroids, centroids)
     emb = embeddings.join(assign, "vec_id")
-    cent = F.broadcast(
-        centroids
-        if centroids is not None
-        else embeddings.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-        )
-    )
+    cent = _centroid_table(embeddings, n_centroids, centroids)
     qw = Window.partitionBy("query_vec_id").orderBy("l2", "cent_id")
     probes = F.broadcast(
         embeddings.where(F.col("vec_id") < n_queries)

@@ -152,7 +152,8 @@ def write_layout(
     (partition pruning for queries touching few regions), plus the MBR
     stats sidecar (`stats_path`) that makes the pruning sound."""
     df = _with_layout_cols(rects, grid, coarse_levels_up)
-    parts = num_partitions or rects.sparkSession.sparkContext.defaultParallelism
+    spark = rects.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
     (
         df.repartitionByRange(parts, "_z")
         .sortWithinPartitions("_z", "min_x")
@@ -161,8 +162,10 @@ def write_layout(
         .partitionBy("coarse_cell")
         .parquet(path)
     )
+    # stats from the WRITTEN table (a 5-column scan of the output), not a
+    # second execution of the full source plan + derivation
     (
-        _partition_stats(df)
+        _partition_stats(read_layout(spark, path))
         .write.mode("overwrite")
         .partitionBy("coarse_cell")
         .parquet(stats_path(path))
@@ -177,13 +180,22 @@ def read_partition_stats(spark, path: str) -> DataFrame:
     return spark.read.parquet(stats_path(path))
 
 
-def prune_partitions_for_queries(spark, path: str, queries_pdf) -> list[int]:
-    """Coarse partitions whose MBR intersects ANY query rect (closed
+def excluded_partitions_for_queries(spark, path: str, queries_pdf) -> list[int]:
+    """Coarse partitions PROVABLY disjoint from every query rect (closed
     bounds, reference predicate P1) — the distributed analog of the
     R-tree's root-level MBR-disjoint pruning (RTreeBulkLoad.cpp:154-156).
-    The stats table is O(coarse cells) (<= 4096 by contract), so the
-    intersection runs driver-side in numpy."""
-    st = read_partition_stats(spark, path).toPandas()
+
+    EXCLUSION semantics by design: a partition is dropped only if a
+    stats row proves it can't match, so a missing sidecar, a missing
+    per-partition stats row (e.g. the crash window between a data
+    rewrite and its stats rewrite), or a legacy layout written before
+    the sidecar existed all degrade to "read it" — never to silently
+    dropped results.  The stats table is O(coarse cells) (<= 4096 by
+    contract), so the intersection runs driver-side in numpy."""
+    try:
+        st = read_partition_stats(spark, path).toPandas()
+    except Exception:  # noqa: BLE001 — no/unreadable sidecar: prune nothing
+        return []
     if not len(st) or not len(queries_pdf):
         return []
     qx0 = np.asarray(queries_pdf["min_x"], dtype=np.float64)
@@ -196,7 +208,7 @@ def prune_partitions_for_queries(spark, path: str, queries_pdf) -> list[int]:
         & (st["mbr_max_y"].to_numpy()[:, None] >= qy0[None, :])
         & (st["mbr_min_y"].to_numpy()[:, None] <= qy1[None, :])
     ).any(axis=1)
-    return sorted(int(c) for c in st["coarse_cell"].to_numpy()[hit])
+    return sorted(int(c) for c in st["coarse_cell"].to_numpy()[~hit])
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +243,14 @@ def _rewrite_partitions(
     # the data overwrite below deletes, so the second (stats) pass would
     # otherwise re-execute the plan against vanished inputs
     merged = merged.localCheckpoint()
+    # Crash-safety ordering: drop the affected partitions' STATS rows
+    # first.  Pruning is exclusion-based, so at every intermediate point
+    # (stats gone / data rewritten / stats not yet rewritten) queries see
+    # at-most-stale-free pruning — a missing stats row reads the
+    # partition; a stale one can never survive past this delete.
+    hadoop, fs = _fs(spark)
+    for p in set(affected) | set(emptied):
+        fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
     (
         merged.sortWithinPartitions("_z", "min_x")
         .drop("_z")
@@ -238,22 +258,19 @@ def _rewrite_partitions(
         .partitionBy("coarse_cell")
         .parquet(path)
     )
-    # keep the MBR stats sidecar consistent: recompute stats for the
-    # partitions present in the written data (same dynamic overwrite)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition emptied by a delete writes zero rows and would
+    # keep its stale files, so drop those dirs explicitly (what an
+    # Iceberg delete-commit does transactionally).
+    for p in emptied:
+        fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
+    # rebuild the affected partitions' stats from the written data
     (
         _partition_stats(merged)
         .write.mode("overwrite")
         .partitionBy("coarse_cell")
         .parquet(stats_path(path))
     )
-    # dynamic overwrite only replaces partitions PRESENT in the written
-    # data — a partition emptied by a delete writes zero rows and would
-    # keep its stale files, so drop those dirs explicitly (what an
-    # Iceberg delete-commit does transactionally).
-    hadoop, fs = _fs(spark)
-    for p in emptied:
-        fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
-        fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
 
 
 def upsert_layout(
@@ -342,9 +359,14 @@ def maybe_retile(
     staging = f"{path}__retiling"
     write_layout(rects, staging, new_grid, coarse_levels_up=coarse_levels_up)
     hadoop, fs = _fs(spark)
-    for src, dst in ((staging, path), (stats_path(staging), stats_path(path))):
-        fs.delete(hadoop.Path(dst), True)
-        fs.rename(hadoop.Path(src), hadoop.Path(dst))
+    # Swap order matters: drop the OLD sidecar first (its coarse-cell ids
+    # are in the old grid's space — against the new data they would prune
+    # wrongly; with exclusion-based pruning, "no sidecar" just reads
+    # everything), then swap the data, then install the new sidecar.
+    fs.delete(hadoop.Path(stats_path(path)), True)
+    fs.delete(hadoop.Path(path), True)
+    fs.rename(hadoop.Path(staging), hadoop.Path(path))
+    fs.rename(hadoop.Path(stats_path(staging)), hadoop.Path(stats_path(path)))
     return new_grid
 
 

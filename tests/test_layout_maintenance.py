@@ -143,10 +143,12 @@ def test_pruned_range_query_matches_and_prunes(spark, rects_a_pdf, table):
     g = sorted(map(tuple, got.collect()))
     e = sorted(map(tuple, exp.collect()))
     assert g == e and len(g) > 0
-    # real pruning happened
-    surviving = layout.prune_partitions_for_queries(spark, table, queries.toPandas())
+    # real pruning happened (exclusion-based: some partitions proven disjoint)
+    excluded = layout.excluded_partitions_for_queries(spark, table, queries.toPandas())
     total = layout.read_partition_stats(spark, table).count()
-    assert 0 < len(surviving) < total
+    assert 0 < len(excluded) < total
+    # missing sidecar degrades to "prune nothing", never to dropped rows
+    assert layout.excluded_partitions_for_queries(spark, table + "_nope", queries.toPandas()) == []
     # and it reached the scan as a partition filter (zero I/O for pruned dirs)
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -173,3 +175,30 @@ def test_stats_sidecar_tracks_delete(spark, rects_a_pdf, table):
     assert row["n_docs"] == len(sub)
     assert row["mbr_min_x"] == sub["min_x"].min()
     assert row["mbr_max_y"] == sub["max_y"].max()
+
+
+def test_legacy_layout_partial_sidecar_never_drops_rows(spark, rects_a_pdf, table):
+    """Upserting into a layout whose sidecar predates the stats feature
+    (simulated by deleting it) leaves a PARTIAL sidecar — exclusion-based
+    pruning must still return every matching row."""
+    import shutil
+
+    from rtree_cpp_spark.operators.range_query import range_query, range_query_layout
+
+    shutil.rmtree(layout.stats_path(table))  # legacy layout: no sidecar
+    mod = rects_a_pdf.head(3).copy()
+    layout.upsert_layout(spark, spark.createDataFrame(mod), table, GRID)
+    st = layout.read_partition_stats(spark, table).toPandas()
+    data_parts = layout.read_layout(spark, table).select("coarse_cell").distinct().count()
+    assert 0 < len(st) < data_parts  # sidecar really is partial
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": ["all"], "min_x": [0.0], "min_y": [0.0],
+             "max_x": [1024.0], "max_y": [1024.0]}
+        )
+    )
+    got = sorted(r.doc_id for r in range_query_layout(spark, table, queries, GRID).collect())
+    exp = sorted(r.doc_id for r in range_query(
+        layout.read_layout(spark, table).select("doc_id", "min_x", "min_y", "max_x", "max_y"),
+        queries, GRID).collect())
+    assert got == exp and len(got) > 0

@@ -121,3 +121,19 @@ def test_run_dedup_job_end_to_end(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(_sys, "argv", argv)
     rd.main()
     assert {r.doc_id: r.component_id for r in spark.read.parquet(out).collect()} == got
+
+
+def test_run_dedup_rejects_nonpositive_num_parts(monkeypatch):
+    import sys as _sys
+
+    import pytest as _pytest
+
+    import jobs.run_dedup as rd
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["run_dedup.py", "--input", "/tmp/x", "--output", "/tmp/y",
+         "--manifest", "/tmp/z", "--num-parts", "0"],
+    )
+    with _pytest.raises(SystemExit):
+        rd.main()
