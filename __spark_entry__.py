@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn_join": lambda s, d: knn_join(
             rects.rects_a_subset(s, d), rects.rects_b(s, d), GRID, k=5
         ),
+        "spatial_knn_join_sharded": lambda s, d: _knn_join_sharded(s, d),
         "spatial_contains": lambda s, d: contains_query(
             rects.rects_a(s, d), rects.queries_range(s, d), GRID
         ),
@@ -232,6 +233,17 @@ def _interleaved_join_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.join(sig_a, "a_doc_id").join(sig_b, "b_doc_id").select(
         "a_doc_id", "b_doc_id", "a_sig", "b_sig"
+    )
+
+
+def _knn_join_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics (and oracle) as spatial_knn_join, executed through
+    the A-sharded driver loop — proves sharding is result-invariant at
+    gate scale too."""
+    from rtree_cpp_spark.operators.knn import knn_join_sharded
+
+    return knn_join_sharded(
+        rects.rects_a_subset(spark, sf_dir), rects.rects_b(spark, sf_dir), GRID, k=5, n_shards=3
     )
 
 
@@ -612,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_knn": knn_sql,
         "spatial_knn_kernel": knn_sql,
         "spatial_knn_join": knn_join_sql,
+        "spatial_knn_join_sharded": knn_join_sql,
         "spatial_idw": (
             f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}), "
             f"v AS ({rects.RECT_VALUES_SQL}), "

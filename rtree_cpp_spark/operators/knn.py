@@ -216,6 +216,35 @@ def knn_join(
     return knn(b_rects, centroids, grid, initial_radius, ranker)
 
 
+def knn_join_sharded(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    k: int,
+    n_shards: int = 4,
+    initial_radius: int = 1,
+    ranker: str = "window",
+) -> DataFrame:
+    """kNN join for A sets too large for one driver-resident query batch:
+    deterministic hash-sharding of A (pmod(xxhash64(doc_id), n_shards)),
+    each shard through the same disk-doubling kernel, results unioned.
+
+    kNN join is embarrassingly parallel in A — shards never interact —
+    so sharding changes scheduling only, never results (pytest asserts
+    shard-count invariance).  The per-shard driver residency is the same
+    contract as the reference's query file; n_shards bounds it."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
+    out = None
+    for s in range(n_shards):
+        part = knn_join(
+            a_rects.where(shard == s), b_rects, grid, k, initial_radius, ranker
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def idw_interpolate(
     data_rects: DataFrame,
     queries: DataFrame,

@@ -340,3 +340,18 @@ def test_hot_cells_smoothing_vs_brute(spark, rects_a_df, rects_a_pdf):
     assert [(r.smoothed, r.cell) for r in got.itertuples()] == order
     for r in got.itertuples():
         assert r.n_docs == counts[r.cell // grid.n][r.cell % grid.n]
+
+
+def test_knn_join_sharded_invariant(spark, rects_a_df, rects_b_df):
+    from rtree_cpp_spark.operators.knn import knn_join, knn_join_sharded
+
+    grid = Grid(6)
+    a = rects_a_df.limit(40)
+    base = sorted(map(tuple, knn_join(a, rects_b_df, grid, k=3).collect()))
+    for n_shards in (1, 3):
+        sharded = sorted(
+            map(tuple, knn_join_sharded(a, rects_b_df, grid, k=3, n_shards=n_shards).collect())
+        )
+        assert sharded == base
+    with pytest.raises(ValueError):
+        knn_join_sharded(a, rects_b_df, grid, k=3, n_shards=0)
