@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": lambda s, d: events.hourly_rollup(_events(s, d)),
         "events_asof": lambda s, d: events.asof_join(_events(s, d)),
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
+        "events_funnel": lambda s, d: events.funnel(_events(s, d)),
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
         "agg_top_orders": _top_orders,
@@ -874,6 +875,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM flagged) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
             "FROM sessed GROUP BY user_id, session_id"
+        ),
+        "events_funnel": (
+            "WITH typed AS (SELECT user_id, event_type, ts FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "u AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0 "
+            "FROM typed GROUP BY user_id), "
+            "s1 AS (SELECT u.user_id, u.t0, MIN(t.ts) AS t1 FROM u LEFT JOIN typed t "
+            "ON t.user_id = u.user_id AND t.event_type = 'click' AND t.ts >= u.t0 "
+            "GROUP BY u.user_id, u.t0), "
+            "s2 AS (SELECT s1.user_id, s1.t0, s1.t1, MIN(t.ts) AS t2 FROM s1 LEFT JOIN typed t "
+            "ON t.user_id = s1.user_id AND t.event_type = 'purchase' AND t.ts >= s1.t1 "
+            "GROUP BY s1.user_id, s1.t0, s1.t1) "
+            "SELECT 1 AS step, 'view' AS step_name, COUNT(t0) AS n_users FROM s2 "
+            "UNION ALL SELECT 2, 'click', COUNT(t1) FROM s2 "
+            "UNION ALL SELECT 3, 'purchase', COUNT(t2) FROM s2"
         ),
         "agg_top_orders": (
             "SELECT l_orderkey, o_orderdate, "

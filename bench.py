@@ -85,6 +85,7 @@ def main() -> None:
         "multimodal_frame_meta",
         "events_hourly",
         "events_sessionize",
+        "events_funnel",
         "agg_pricing_summary",
         "agg_top_orders",
     ]

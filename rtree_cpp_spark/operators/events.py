@@ -96,3 +96,44 @@ def sessionize(events: DataFrame, gap_s: float = SESSION_GAP_S) -> DataFrame:
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed each step IN
+    ORDER — step i counts users with an event of type steps[i] at or
+    after their earliest qualifying steps[i-1] event.
+
+    (step int 1-based, step_name, n_users)
+
+    Semantics: t_1(u) = min ts of step-1 events; t_i(u) = min ts of
+    step-i events with ts >= t_{i-1}(u) (non-strict: same-timestamp
+    progression counts — micros-exact in both engines, no FP).  Pure
+    integer counts, order-independent.
+
+    Plan shape: one filtered scan + ONE groupBy(user_id) building a
+    sorted per-step timestamp array, then the stage chain resolves
+    left-to-right inside the same row (array filter + element_at) —
+    never one join per step; final counts are a tiny global agg."""
+    typed = events.where(F.col("event_type").isin(*steps)).select("user_id", "event_type", "ts")
+    arrs = [
+        F.array_sort(F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))).alias(f"_a{i}")
+        for i, s in enumerate(steps)
+    ]
+    staged = typed.groupBy("user_id").agg(*arrs)
+    staged = staged.withColumn("_t0", F.try_element_at(F.col("_a0"), F.lit(1)))
+    for i in range(1, len(steps)):
+        nxt = F.filter(F.col(f"_a{i}"), lambda x: x >= F.col(f"_t{i - 1}"))
+        staged = staged.withColumn(f"_t{i}", F.try_element_at(nxt, F.lit(1)))
+    counts = staged.agg(
+        *[F.count(F.col(f"_t{i}")).alias(f"n{i}") for i in range(len(steps))]
+    )
+    rows = None
+    for i, s in enumerate(steps):
+        one = counts.select(
+            F.lit(i + 1).alias("step"), F.lit(s).alias("step_name"), F.col(f"n{i}").alias("n_users")
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

@@ -257,3 +257,31 @@ def test_ivf_trained_topk_composition(spark):
     top = similarity.ivf_topk(emb, n_queries=5, k=3, n_centroids=4, n_probe=2, centroids=trained).toPandas()
     assert sorted(top.groupby("query_vec_id")["rank"].apply(list).iloc[0]) == [1, 2, 3]
     assert top.groupby("query_vec_id").size().eq(3).all()
+
+
+def test_funnel_ordered_semantics(spark):
+    """A click BEFORE the first view must not advance the funnel; equal
+    timestamps do (non-strict)."""
+    import pandas as pd
+
+    from rtree_cpp_spark.operators import events as ev
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: click precedes the only view -> stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 11:00:00"),  # no qualifying click -> not counted
+        # u3: equal timestamps progress (non-strict)
+        (3, "view", "2024-01-01 12:00:00"),
+        (3, "click", "2024-01-01 12:00:00"),
+        # u4: purchase only -> counted nowhere
+        (4, "purchase", "2024-01-01 13:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    got = {r.step_name: r.n_users for r in ev.funnel(spark.createDataFrame(pdf)).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
