@@ -168,6 +168,15 @@ class Grid:
         cy = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({y}) / CAST({s!r} AS DOUBLE)) AS BIGINT)))"
         return f"({cx} * {n} + {cy})"
 
+    def cell_box_cols(self, cell: Column) -> tuple[Column, Column, Column, Column]:
+        """(min_x, min_y, max_x, max_y) Column exprs of a cell's closed
+        box — the single Column twin of :meth:`cell_bounds`/:meth:`cxcy`
+        so plan code never hand-rolls the row-major decode."""
+        cy = F.pmod(cell, F.lit(self.n))
+        cx = ((cell - cy) / F.lit(self.n)).cast("long")
+        s = F.lit(self.cell_size)
+        return cx * s, cy * s, (cx + 1) * s, (cy + 1) * s
+
     def cx_sql(self, x: str) -> str:
         """Dialect-neutral SQL for one clamped grid coordinate."""
         return (

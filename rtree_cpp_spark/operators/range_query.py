@@ -46,12 +46,9 @@ def range_query(data_rects: DataFrame, queries: DataFrame, grid: Grid, broadcast
         F.col("max_y").alias("q_max_y"),
     )
     q_cells = with_cover_cells(q, grid, prefix="q_")
-    s, n = grid.cell_size, grid.n
-    cy = F.pmod(F.col("cell"), F.lit(n))
-    cx = ((F.col("cell") - cy) / F.lit(n)).cast("long")
     interior = contains_col(
         F.col("q_min_x"), F.col("q_min_y"), F.col("q_max_x"), F.col("q_max_y"),
-        cx * F.lit(s), cy * F.lit(s), (cx + 1) * F.lit(s), (cy + 1) * F.lit(s),
+        *grid.cell_box_cols(F.col("cell")),
     )
     q_cells = q_cells.withColumn("q_interior", interior)
     if broadcast_queries:

@@ -59,10 +59,7 @@ def _refine(joined: DataFrame, grid: Grid, keep_cell: bool = False) -> DataFrame
     # intersect it; the exact predicate short-circuits.  Correctness-
     # neutral (same caveat as range_query: geometry must intersect the
     # grid domain, the Grid clamping contract).
-    s, n = grid.cell_size, grid.n
-    cy = F.pmod(F.col("cell"), F.lit(n))
-    cx = ((F.col("cell") - cy) / F.lit(n)).cast("long")
-    box = (cx * F.lit(s), cy * F.lit(s), (cx + 1) * F.lit(s), (cy + 1) * F.lit(s))
+    box = grid.cell_box_cols(F.col("cell"))
     a_covers_cell = contains_col(
         F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"), *box
     )

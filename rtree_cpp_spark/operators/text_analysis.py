@@ -76,37 +76,42 @@ ROLL_B = 31
 ROLL_P = 2147483647  # 2^31 - 1; h*31 + c < 2^36 — exact in int64
 
 
-def _rolling_hash_np(texts) -> np.ndarray:
+def _rolling_hash_np(texts) -> pd.Series:
     """Batch Horner fold h = (h*B + code) mod P, vectorized ACROSS the
     batch: one masked column step per character position (max-doc-length
     iterations of whole-batch numpy ops) instead of an interpreted
     per-character lambda per document.  h*B + code < 2^36 — exact int64."""
+    # NULL text -> NULL hash (the expr twin's semantics: F.aggregate over
+    # a null array is null)
+    null_mask = np.array([t is None or t is pd.NA or (isinstance(t, float) and np.isnan(t)) for t in texts])
     codes = [
-        np.frombuffer(str(t).encode("utf-32-le"), dtype="<u4").astype(np.int64)
-        for t in texts
+        np.empty(0, dtype=np.int64)
+        if null_mask[i]
+        else np.frombuffer(str(t).encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        for i, t in enumerate(texts)
     ]
     n = len(codes)
     out = np.zeros(n, dtype=np.int64)
-    if n == 0:
-        return out
-    lens = np.fromiter((len(c) for c in codes), dtype=np.int64, count=n)
-    max_len = int(lens.max()) if n else 0
-    if max_len == 0:
-        return out
-    mat = np.zeros((n, max_len), dtype=np.int64)
-    for i, c in enumerate(codes):
-        mat[i, : len(c)] = c
-    for j in range(max_len):
-        active = j < lens
-        out[active] = (out[active] * ROLL_B + mat[active, j]) % ROLL_P
-    return out
+    if n:
+        lens = np.fromiter((len(c) for c in codes), dtype=np.int64, count=n)
+        max_len = int(lens.max())
+        if max_len:
+            mat = np.zeros((n, max_len), dtype=np.int64)
+            for i, c in enumerate(codes):
+                mat[i, : len(c)] = c
+            for j in range(max_len):
+                active = j < lens
+                out[active] = (out[active] * ROLL_B + mat[active, j]) % ROLL_P
+    result = pd.Series(out, dtype="Int64")
+    result[null_mask] = pd.NA
+    return result
 
 
 def _rolling_hash_udf():
     # built lazily: pandas_udf type resolution needs an active session
     @pandas_udf("long")
     def roll(texts: pd.Series) -> pd.Series:
-        return pd.Series(_rolling_hash_np(texts.to_numpy()))
+        return _rolling_hash_np(texts.to_numpy())
 
     return roll
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid, pick_resolution
 from rtree_cpp_spark.functions.geometry import center_cols
+from rtree_cpp_spark.plans.manifest import dynamic_overwrite
 
 TARGET_OCCUPANCY = 64.0  # reference node capacity, src/Main.cpp:192
 
@@ -216,11 +217,12 @@ def excluded_partitions_for_queries(spark, path: str, queries_pdf) -> list[int]:
 # (dead-code) dynamic path: Node::deleteEntry / recalculateMBR
 # (Node.cpp:53-111, never called from Main.cpp).  Here the "node" is a
 # coarse-cell hive partition: updates/deletes rewrite ONLY the affected
-# partitions via dynamic partition overwrite; per-cell MBR stats are
-# derived columns, so the recalculateMBR analog is free on next read.
-# With an Iceberg catalog the same operations become transactional
-# rewrite-files commits; on plain parquet they are idempotent
-# partition-dir replacements (docs/STORAGE.md spells out the contract).
+# partitions via STAGE-AND-SWAP (write to a sibling staging dir, then
+# per-dir delete+rename; heal_layout completes an interrupted swap), so
+# no crash point can lose a partition.  Per-cell MBR stats are derived
+# columns, so the recalculateMBR analog is free on next read.  With an
+# Iceberg catalog the same operations become transactional
+# rewrite-files commits (docs/STORAGE.md spells out the contract).
 # ---------------------------------------------------------------------------
 
 
@@ -235,42 +237,79 @@ def _fs(spark):
     return hadoop, hadoop.FileSystem.get(spark._jsc.hadoopConfiguration())
 
 
-def _rewrite_partitions(
-    spark, merged: DataFrame, path: str, affected: list[int], emptied: list[int]
-) -> None:
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # materialize ONCE before any write: `merged` lazily reads the files
-    # the data overwrite below deletes, so the second (stats) pass would
-    # otherwise re-execute the plan against vanished inputs
-    merged = merged.localCheckpoint()
-    # Crash-safety ordering: drop the affected partitions' STATS rows
-    # first.  Pruning is exclusion-based, so at every intermediate point
-    # (stats gone / data rewritten / stats not yet rewritten) queries see
-    # at-most-stale-free pruning — a missing stats row reads the
-    # partition; a stale one can never survive past this delete.
+def _swap_staging(path: str) -> str:
+    return f"{path}__swap"
+
+
+def heal_layout(spark, path: str) -> list[int]:
+    """Complete an interrupted partition swap.  The swap phase only
+    begins after the staging write committed (``_SUCCESS`` present), so:
+    with ``_SUCCESS``, any staged partition dir missing from the table
+    is moved in (the crash hit between a dir delete and its rename);
+    without it, staging is a dead partial write and is dropped.  Called
+    automatically at the start of upsert/delete; idempotent.  Returns
+    the healed coarse cells."""
     hadoop, fs = _fs(spark)
-    for p in set(affected) | set(emptied):
-        fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
+    staging = _swap_staging(path)
+    if not fs.exists(hadoop.Path(staging)):
+        return []
+    healed: list[int] = []
+    if fs.exists(hadoop.Path(f"{staging}/_SUCCESS")):
+        for st in fs.listStatus(hadoop.Path(staging)):
+            name = st.getPath().getName()
+            if name.startswith("coarse_cell=") and not fs.exists(hadoop.Path(f"{path}/{name}")):
+                fs.rename(st.getPath(), hadoop.Path(f"{path}/{name}"))
+                healed.append(int(name.split("=", 1)[1]))
+    fs.delete(hadoop.Path(staging), True)
+    return sorted(healed)
+
+
+def _rewrite_partitions(spark, merged: DataFrame, path: str, touched: list[int]) -> list[int]:
+    """Stage-and-swap partition rewrite: the merged rows are written to a
+    STAGING dir first (originals untouched — the module's own rule that
+    read+overwrite of one path is unsafe applies to partitions too),
+    then each touched dir is swapped in by delete+rename.  With
+    ``heal_layout``, every crash point either leaves the original table
+    intact (before the swap) or is completable (during it) — never a
+    lost partition; the closest plain parquet gets to an Iceberg
+    rewrite-files commit.  Touched partitions absent from the staged
+    output were emptied by the change and are reported back.
+
+    Stats rows for touched partitions drop before the swap and rebuild
+    after — exclusion-based pruning keeps every intermediate state safe
+    (missing stats rows read the partition; stale ones never survive)."""
+    hadoop, fs = _fs(spark)
+    staging = _swap_staging(path)
+    fs.delete(hadoop.Path(staging), True)
+    # materialize ONCE: the staged write and the stats pass share it, and
+    # nothing re-reads table files mid-swap
+    merged = merged.localCheckpoint()
     (
         merged.sortWithinPartitions("_z", "min_x")
         .drop("_z")
         .write.mode("overwrite")
         .partitionBy("coarse_cell")
-        .parquet(path)
+        .parquet(staging)
     )
-    # dynamic overwrite only replaces partitions PRESENT in the written
-    # data — a partition emptied by a delete writes zero rows and would
-    # keep its stale files, so drop those dirs explicitly (what an
-    # Iceberg delete-commit does transactionally).
-    for p in emptied:
+    for p in touched:
+        fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
+    emptied: list[int] = []
+    for p in touched:
         fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
-    # rebuild the affected partitions' stats from the written data
-    (
-        _partition_stats(merged)
-        .write.mode("overwrite")
-        .partitionBy("coarse_cell")
-        .parquet(stats_path(path))
-    )
+        src = hadoop.Path(f"{staging}/coarse_cell={p}")
+        if fs.exists(src):
+            fs.rename(src, hadoop.Path(f"{path}/coarse_cell={p}"))
+        else:
+            emptied.append(p)
+    fs.delete(hadoop.Path(staging), True)
+    with dynamic_overwrite(spark):
+        (
+            _partition_stats(merged)
+            .write.mode("overwrite")
+            .partitionBy("coarse_cell")
+            .parquet(stats_path(path))
+        )
+    return sorted(emptied)
 
 
 def upsert_layout(
@@ -288,6 +327,7 @@ def upsert_layout(
     coarse cells must be deleted from its old partition first
     (``delete_from_layout`` with the old rows — the reference's
     deleteEntry likewise takes the old entry, Node.cpp:53)."""
+    heal_layout(spark, path)
     new_df = _with_layout_cols(new_rects, grid, coarse_levels_up)
     affected = _affected_partitions(new_df)
     cols = ["doc_id", "min_x", "min_y", "max_x", "max_y", "cell", "_z", "coarse_cell"]
@@ -295,7 +335,7 @@ def upsert_layout(
     existing = existing.withColumn("_z", morton_col(grid, F.col("cell")))
     keep = existing.join(new_df.select("doc_id").distinct(), "doc_id", "left_anti")
     merged = keep.select(*cols).unionByName(new_df.select(*cols))
-    _rewrite_partitions(spark, merged, path, affected, emptied=[])
+    _rewrite_partitions(spark, merged, path, affected)
     return {"affected_partitions": sorted(affected)}
 
 
@@ -313,16 +353,17 @@ def delete_from_layout(
     reference's deleteEntry receives the entry being removed.  Emptied
     partitions have their directories dropped (an Iceberg delete commit
     does this transactionally)."""
+    heal_layout(spark, path)
     old_df = _with_layout_cols(old_rects, grid, coarse_levels_up)
     affected = _affected_partitions(old_df)
     cols = ["doc_id", "min_x", "min_y", "max_x", "max_y", "cell", "_z", "coarse_cell"]
     existing = read_layout(spark, path).where(F.col("coarse_cell").isin(affected))
     existing = existing.withColumn("_z", morton_col(grid, F.col("cell")))
     keep = existing.join(old_df.select("doc_id").distinct(), "doc_id", "left_anti").select(*cols)
-    remaining = {r[0] for r in keep.select("coarse_cell").distinct().collect()}
-    emptied = [p for p in affected if p not in remaining]
-    _rewrite_partitions(spark, keep, path, [p for p in affected if p in remaining], emptied)
-    return {"affected_partitions": sorted(affected), "emptied_partitions": sorted(emptied)}
+    # emptied partitions fall out of the staged write (no second
+    # anti-join pass to pre-compute them)
+    emptied = _rewrite_partitions(spark, keep, path, affected)
+    return {"affected_partitions": sorted(affected), "emptied_partitions": emptied}
 
 
 def maybe_retile(

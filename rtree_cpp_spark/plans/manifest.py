@@ -19,10 +19,28 @@ from __future__ import annotations
 
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+@contextmanager
+def dynamic_overwrite(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic to a write: the session
+    default is restored on exit, so a later plain partitioned overwrite
+    keeps its full-replace (static) semantics."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 MANIFEST_SCHEMA = (
     "run_id string, stage string, partition_key long, status string, "
@@ -82,7 +100,6 @@ def resumable_write(
     by the coarse grid (≤ 4^coarse_level ≤ 4096), never data rows.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()}
@@ -95,9 +112,10 @@ def resumable_write(
             if fail_after_batches is not None and bi >= fail_after_batches:
                 raise RuntimeError(f"injected failure before batch {bi} (resume test)")
             t0 = time.perf_counter()
-            df.where(F.col(key_col).isin(batch)).write.mode("overwrite").partitionBy(
-                key_col
-            ).parquet(out_path)
+            with dynamic_overwrite(spark):
+                df.where(F.col(key_col).isin(batch)).write.mode("overwrite").partitionBy(
+                    key_col
+                ).parquet(out_path)
             wall = int((time.perf_counter() - t0) * 1000)
             now = time.time()
             append_manifest(

@@ -89,7 +89,7 @@ def main():
             # every DuckDB oracle emits float64 — a float32 gate column
             # hash-mismatches even on identical values (r1: interleaved_
             # extract).  Catch it locally.
-            f32 = [f.name for f in df.schema.fields if f.dataType.simpleString() == "float"]
+            f32 = [f.name for f in df.schema.fields if "float" in f.dataType.simpleString()]
             if f32 and name in oracles:
                 print(f"{name:24s} FLOAT32_COLS {f32} — will hash-mismatch vs double oracle")
             rows = [tuple(r) for r in df.collect()]

@@ -184,7 +184,8 @@ def main() -> None:
     lo["docs_per_sec"] = (lo["pairs"] + lo["tiles"]) / lo["wall_sec"]
     hi["docs_per_sec"] = (hi["pairs"] + hi["tiles"]) / hi["wall_sec"]
     assert lo["pairs"] == hi["pairs"] and lo["tiles"] == hi["tiles"], "nondeterministic results!"
-    efficiency = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    ratio = hi_cpus / lo_cpus
+    efficiency = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     # Engine-limited attribution: identical instructions at both levels, so
     # any JVM CPU inflation lo->hi is shared-memory-bus stalls (hardware),
     # not engine work.  Removing the measured inflation from the hi wall
@@ -194,7 +195,7 @@ def main() -> None:
         hi["jvm_cpu_sec"] / lo["jvm_cpu_sec"] if lo.get("jvm_cpu_sec") else None
     )
     engine_limited = (
-        lo["wall_sec"] / (4.0 * hi["wall_sec"] / cpu_inflation) if cpu_inflation else None
+        lo["wall_sec"] / (ratio * hi["wall_sec"] / cpu_inflation) if cpu_inflation else None
     )
     summary = {
         "metric": "join_tiling_scaling_efficiency",
@@ -236,7 +237,7 @@ uniform background) at two parallelism levels.
 | local[{lo_cpus}] | {lo['wall_sec']:.2f} | {lo['pairs'] + lo['tiles']:,} | {lo['docs_per_sec']:,.1f} |
 | local[{hi_cpus}] | {hi['wall_sec']:.2f} | {hi['pairs'] + hi['tiles']:,} | {hi['docs_per_sec']:,.1f} |
 
-**Scaling efficiency = throughput(local[{hi_cpus}]) / (4 x throughput(local[{lo_cpus}])) =
+**Scaling efficiency = throughput(local[{hi_cpus}]) / ({ratio:g} x throughput(local[{lo_cpus}])) =
 {efficiency:.3f}**
 
 Why local[{lo_cpus}] vs local[{hi_cpus}]: the sandbox VM advertises 32 vCPUs but

@@ -202,3 +202,36 @@ def test_legacy_layout_partial_sidecar_never_drops_rows(spark, rects_a_pdf, tabl
         layout.read_layout(spark, table).select("doc_id", "min_x", "min_y", "max_x", "max_y"),
         queries, GRID).collect())
     assert got == exp and len(got) > 0
+
+
+def test_heal_completes_interrupted_swap(spark, rects_a_pdf, table):
+    """Simulate a crash between a partition dir's delete and its rename:
+    the staged copy survives; heal_layout moves it in and the table is
+    whole again."""
+    import shutil
+
+    full = layout.read_layout(spark, table).toPandas()
+    victim = int(full["coarse_cell"].mode()[0])
+    staging = layout._swap_staging(table)
+    # craft the crash state: staging holds the victim's (new) data +
+    # _SUCCESS; the live dir is already deleted
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    shutil.move(
+        os.path.join(table, f"coarse_cell={victim}"),
+        os.path.join(staging, f"coarse_cell={victim}"),
+    )
+    assert layout.read_layout(spark, table).where(
+        F.col("coarse_cell") == victim
+    ).count() == 0  # partition is gone, as after the crash
+    healed = layout.heal_layout(spark, table)
+    assert healed == [victim]
+    assert not os.path.exists(staging)
+    got = layout.read_layout(spark, table).toPandas()
+    assert sorted(got["doc_id"]) == sorted(full["doc_id"])
+    # idempotent + no-op without staging
+    assert layout.heal_layout(spark, table) == []
+    # a staging dir WITHOUT _SUCCESS is a dead partial write: dropped
+    os.makedirs(os.path.join(staging, "coarse_cell=9999"), exist_ok=True)
+    assert layout.heal_layout(spark, table) == []
+    assert not os.path.exists(staging)

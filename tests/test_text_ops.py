@@ -285,3 +285,15 @@ def test_funnel_ordered_semantics(spark):
     pdf["ts"] = pd.to_datetime(pdf["ts"])
     got = {r.step_name: r.n_users for r in ev.funnel(spark.createDataFrame(pdf)).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_rolling_hash_null_text_parity(spark):
+    """NULL text hashes to NULL in BOTH impls (the kernel must not hash
+    the literal string 'None')."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abc", None, ""]})
+    df = spark.createDataFrame(pdf)
+    for impl in ("expr", "kernel"):
+        got = {r.doc_id: r.roll_hash for r in text_analysis.rolling_hash(df, impl=impl).collect()}
+        assert got[2] is None, impl
+        assert got[3] == 0, impl
+        assert got[1] is not None and got[1] > 0, impl
