@@ -297,3 +297,28 @@ def test_rolling_hash_null_text_parity(spark):
         assert got[2] is None, impl
         assert got[3] == 0, impl
         assert got[1] is not None and got[1] > 0, impl
+
+
+def test_simhash_pairs_wider_signature(spark):
+    """The bits knob is real: 32-bit signatures (the realistic-corpus
+    setting — 16-bit birthday collisions vanish) still block losslessly."""
+    words = [f"tok{i}" for i in range(30)]
+    texts = [
+        " ".join(words),
+        " ".join(words[:-2] + ["changed", "words"]),
+        "entirely different other vocabulary here now",
+        " ".join(reversed(words)),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.a_doc_id, r.b_doc_id, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=3, bits=32, n_bands=4).collect()
+    }
+    assert got == brute
