@@ -242,14 +242,26 @@ def _swap_staging(path: str) -> str:
 
 
 def heal_layout(spark, path: str) -> list[int]:
-    """Complete an interrupted partition swap.  The swap phase only
-    begins after the staging write committed (``_SUCCESS`` present), so:
-    with ``_SUCCESS``, any staged partition dir missing from the table
-    is moved in (the crash hit between a dir delete and its rename);
-    without it, staging is a dead partial write and is dropped.  Called
-    automatically at the start of upsert/delete; idempotent.  Returns
-    the healed coarse cells."""
+    """Complete an interrupted partition (or retile) swap.  Swap phases
+    only begin after the respective staging write committed (``_SUCCESS``
+    present), so: with ``_SUCCESS``, any staged partition dir missing
+    from the table is moved in (the crash hit between a dir delete and
+    its rename) and a missing table whose ``__retiling`` rewrite
+    committed is renamed in whole; without ``_SUCCESS``, staging is a
+    dead partial write and is dropped.  Called automatically at the
+    start of upsert/delete; idempotent.  Single writer per table assumed
+    (concurrent maintenance needs a catalog — Iceberg's optimistic
+    commit — not plain parquet).  Returns the healed coarse cells."""
     hadoop, fs = _fs(spark)
+    # interrupted RETILE swap: the table dir was deleted before the
+    # staged rewrite was renamed in — complete the rename(s)
+    retiling = f"{path}__retiling"
+    if not fs.exists(hadoop.Path(path)) and fs.exists(hadoop.Path(f"{retiling}/_SUCCESS")):
+        fs.rename(hadoop.Path(retiling), hadoop.Path(path))
+        if fs.exists(hadoop.Path(stats_path(retiling))) and not fs.exists(
+            hadoop.Path(stats_path(path))
+        ):
+            fs.rename(hadoop.Path(stats_path(retiling)), hadoop.Path(stats_path(path)))
     staging = _swap_staging(path)
     if not fs.exists(hadoop.Path(staging)):
         return []

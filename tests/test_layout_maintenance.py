@@ -235,3 +235,21 @@ def test_heal_completes_interrupted_swap(spark, rects_a_pdf, table):
     os.makedirs(os.path.join(staging, "coarse_cell=9999"), exist_ok=True)
     assert layout.heal_layout(spark, table) == []
     assert not os.path.exists(staging)
+
+
+def test_heal_completes_interrupted_retile(spark, rects_a_pdf, tmp_path):
+    """Crash between the retile's table delete and rename: the committed
+    __retiling rewrite (data + sidecar) is renamed in by heal_layout."""
+    import shutil
+
+    path = str(tmp_path / "tbl2")
+    layout.write_layout(spark.createDataFrame(rects_a_pdf), path, GRID)
+    full = sorted(layout.read_layout(spark, path).toPandas()["doc_id"])
+    # craft the crash state: a committed retile staging, table deleted
+    shutil.move(path, path + "__retiling")
+    shutil.move(layout.stats_path(path), layout.stats_path(path + "__retiling"))
+    assert not os.path.exists(path)
+    layout.heal_layout(spark, path)
+    assert sorted(layout.read_layout(spark, path).toPandas()["doc_id"]) == full
+    assert os.path.exists(layout.stats_path(path))
+    assert not os.path.exists(path + "__retiling")
