@@ -130,10 +130,19 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     counts = staged.agg(
         *[F.count(F.col(f"_t{i}")).alias(f"n{i}") for i in range(len(steps))]
     )
-    rows = None
-    for i, s in enumerate(steps):
-        one = counts.select(
-            F.lit(i + 1).alias("step"), F.lit(s).alias("step_name"), F.col(f"n{i}").alias("n_users")
-        )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+    # one execution of the aggregate: explode the per-step rows out of
+    # the single count row (a union of N selects would give the agg N
+    # parent branches and re-run it per step)
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(per_step).alias("r")).select(
+        "r.step", "r.step_name", "r.n_users"
+    )

@@ -235,6 +235,10 @@ def knn_join_sharded(
     contract as the reference's query file; n_shards bounds it."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    # materialize A once: the shard filter evaluates the plan once per
+    # shard, and a nondeterministic source (sample/unordered limit)
+    # would otherwise break the shards-partition-A invariant
+    a_rects = a_rects.localCheckpoint()
     shard = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
     out = None
     for s in range(n_shards):

@@ -193,9 +193,11 @@ def excluded_partitions_for_queries(spark, path: str, queries_pdf) -> list[int]:
     the sidecar existed all degrade to "read it" — never to silently
     dropped results.  The stats table is O(coarse cells) (<= 4096 by
     contract), so the intersection runs driver-side in numpy."""
+    from pyspark.errors import AnalysisException
+
     try:
         st = read_partition_stats(spark, path).toPandas()
-    except Exception:  # noqa: BLE001 — no/unreadable sidecar: prune nothing
+    except AnalysisException:  # missing sidecar (legacy layout): prune nothing
         return []
     if not len(st) or not len(queries_pdf):
         return []
@@ -241,27 +243,40 @@ def _swap_staging(path: str) -> str:
     return f"{path}__swap"
 
 
+def _rename_or_raise(fs, hadoop, src: str, dst: str) -> None:
+    """Hadoop rename signals failure via its boolean return — surface it
+    instead of silently dropping a partition."""
+    if not fs.rename(hadoop.Path(src), hadoop.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def heal_layout(spark, path: str) -> list[int]:
     """Complete an interrupted partition (or retile) swap.  Swap phases
     only begin after the respective staging write committed (``_SUCCESS``
-    present), so: with ``_SUCCESS``, any staged partition dir missing
-    from the table is moved in (the crash hit between a dir delete and
-    its rename) and a missing table whose ``__retiling`` rewrite
-    committed is renamed in whole; without ``_SUCCESS``, staging is a
-    dead partial write and is dropped.  Called automatically at the
-    start of upsert/delete; idempotent.  Single writer per table assumed
-    (concurrent maintenance needs a catalog — Iceberg's optimistic
-    commit — not plain parquet).  Returns the healed coarse cells."""
+    present), and a committed staging is AUTHORITATIVE: every staged
+    partition dir replaces its live counterpart (the live dir may be a
+    torn partial from a crash mid recursive delete — the staged copy is
+    the only provably complete one), and a committed ``__retiling``
+    rewrite replaces the whole table.  Without ``_SUCCESS``, staging is
+    a dead partial write and is dropped.  Called automatically at the
+    start of upsert/delete/retile; idempotent (completing the staged
+    rewrite IS the op the crash interrupted).  Single writer per table
+    assumed (concurrent maintenance needs a catalog — Iceberg's
+    optimistic commit — not plain parquet).  Returns healed cells."""
     hadoop, fs = _fs(spark)
-    # interrupted RETILE swap: the table dir was deleted before the
-    # staged rewrite was renamed in — complete the rename(s)
+    # interrupted RETILE swap: the committed rewrite wins over whatever
+    # remains of the (possibly partially deleted) table
     retiling = f"{path}__retiling"
-    if not fs.exists(hadoop.Path(path)) and fs.exists(hadoop.Path(f"{retiling}/_SUCCESS")):
-        fs.rename(hadoop.Path(retiling), hadoop.Path(path))
-        if fs.exists(hadoop.Path(stats_path(retiling))) and not fs.exists(
-            hadoop.Path(stats_path(path))
-        ):
-            fs.rename(hadoop.Path(stats_path(retiling)), hadoop.Path(stats_path(path)))
+    if fs.exists(hadoop.Path(f"{retiling}/_SUCCESS")):
+        fs.delete(hadoop.Path(path), True)
+        _rename_or_raise(fs, hadoop, retiling, path)
+    if fs.exists(hadoop.Path(stats_path(retiling))):
+        # data rename done, sidecar rename not: finish it (or drop the
+        # orphan if a sidecar already exists)
+        if fs.exists(hadoop.Path(stats_path(path))):
+            fs.delete(hadoop.Path(stats_path(retiling)), True)
+        else:
+            _rename_or_raise(fs, hadoop, stats_path(retiling), stats_path(path))
     staging = _swap_staging(path)
     if not fs.exists(hadoop.Path(staging)):
         return []
@@ -269,8 +284,9 @@ def heal_layout(spark, path: str) -> list[int]:
     if fs.exists(hadoop.Path(f"{staging}/_SUCCESS")):
         for st in fs.listStatus(hadoop.Path(staging)):
             name = st.getPath().getName()
-            if name.startswith("coarse_cell=") and not fs.exists(hadoop.Path(f"{path}/{name}")):
-                fs.rename(st.getPath(), hadoop.Path(f"{path}/{name}"))
+            if name.startswith("coarse_cell="):
+                fs.delete(hadoop.Path(f"{path}/{name}"), True)
+                _rename_or_raise(fs, hadoop, str(st.getPath().toUri().getPath()), f"{path}/{name}")
                 healed.append(int(name.split("=", 1)[1]))
     fs.delete(hadoop.Path(staging), True)
     return sorted(healed)
@@ -308,9 +324,9 @@ def _rewrite_partitions(spark, merged: DataFrame, path: str, touched: list[int])
     emptied: list[int] = []
     for p in touched:
         fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
-        src = hadoop.Path(f"{staging}/coarse_cell={p}")
-        if fs.exists(src):
-            fs.rename(src, hadoop.Path(f"{path}/coarse_cell={p}"))
+        src = f"{staging}/coarse_cell={p}"
+        if fs.exists(hadoop.Path(src)):
+            _rename_or_raise(fs, hadoop, src, f"{path}/coarse_cell={p}")
         else:
             emptied.append(p)
     fs.delete(hadoop.Path(staging), True)
@@ -397,6 +413,9 @@ def maybe_retile(
     the layout through a staging dir + atomic-ish swap (read and
     overwrite of the same path in one job is unsafe in Spark).  Returns
     the grid now in effect; callers persist it in the run manifest."""
+    heal_layout(spark, path)  # a prior crashed retile/swap must complete
+    # before this run reads the table (a torn table would be re-tiled as
+    # if it were the whole dataset — silent row loss)
     rects = read_layout(spark, path).select("doc_id", "min_x", "min_y", "max_x", "max_y")
     occ = median_occupancy_by_level(
         rects, [grid.level], sample_fraction=sample_fraction, extent=grid.extent
@@ -418,8 +437,8 @@ def maybe_retile(
     # everything), then swap the data, then install the new sidecar.
     fs.delete(hadoop.Path(stats_path(path)), True)
     fs.delete(hadoop.Path(path), True)
-    fs.rename(hadoop.Path(staging), hadoop.Path(path))
-    fs.rename(hadoop.Path(stats_path(staging)), hadoop.Path(stats_path(path)))
+    _rename_or_raise(fs, hadoop, staging, path)
+    _rename_or_raise(fs, hadoop, stats_path(staging), stats_path(path))
     return new_grid
 
 
