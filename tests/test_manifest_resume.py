@@ -137,3 +137,39 @@ def test_run_dedup_rejects_nonpositive_num_parts(monkeypatch):
     )
     with _pytest.raises(SystemExit):
         rd.main()
+
+
+def test_run_curate_job_end_to_end(spark, tmp_path, monkeypatch):
+    import sys as _sys
+
+    import pandas as pd
+
+    import pyspark.sql as pysql
+
+    import jobs.run_curate as rc
+
+    monkeypatch.setattr(pysql.SparkSession, "stop", lambda self: None)
+    rich = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [rich, rich, "spam " * 50],  # dup pair + low quality
+            }
+        )
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    docs.write.parquet(src)
+    argv = [
+        "run_curate.py", "--input", src, "--output", out, "--manifest", man,
+        "--run-id", "c1", "--num-parts", "4",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    rc.main()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1}  # dup 2 collapsed into 1; 3 failed quality
+    monkeypatch.setattr(_sys, "argv", argv)
+    rc.main()  # rerun: skip everything, output unchanged
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == got
