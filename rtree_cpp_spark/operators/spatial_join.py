@@ -86,6 +86,22 @@ def spatial_join(
     )
 
 
+def spatial_join_bucketed(
+    spark, table_a: str, table_b: str, grid: Grid, keep_cell: bool = False
+) -> DataFrame:
+    """Spatial join over two cover-bucketed tables written by
+    ``plans.layout.write_bucketed_cover`` (prefixes "a_"/"b_"): the cell
+    sort-merge join runs with NO exchange on either side — the cover
+    explode and the shuffle were paid once at write time.  Output rows
+    are identical to :func:`spatial_join` on the same inputs (same
+    refine predicate + reference-point dedup); asserted by
+    tests/test_streaming_and_layout.py on plan ("no Exchange") and
+    values.  This is the repeated-join fast path a persistent index
+    earns (the reference keeps its R-tree in memory between queries;
+    Spark keeps the bucketed layout on disk)."""
+    return _refine(spark.table(table_a).join(spark.table(table_b), "cell"), grid, keep_cell)
+
+
 def distance_join(
     a_rects: DataFrame,
     b_rects: DataFrame,

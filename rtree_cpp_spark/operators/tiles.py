@@ -77,8 +77,11 @@ def tile_pyramid(data_rects: DataFrame, grid: Grid) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_docs"))
     )
+    # exact integer decode (cy first, then the remainder division — the
+    # same form as Grid.cell_box_cols): no float rounding at any grid size
     n = F.lit(grid.n)
-    cx, cy = (F.col("cell") / n).cast("long"), F.col("cell") % n
+    cy = F.col("cell") % n
+    cx = ((F.col("cell") - cy) / n).cast("long")
     chain = F.array(
         *[
             F.struct(
@@ -114,8 +117,8 @@ def hot_cells(data_rects: DataFrame, grid: Grid, k: int = 20) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
     )
     n = grid.n
-    cx = F.floor(F.col("cell") / F.lit(n)).cast("long")
     cy = F.col("cell") % F.lit(n)
+    cx = ((F.col("cell") - cy) / F.lit(n)).cast("long")
     spread = F.array(
         *[
             F.when(

@@ -250,44 +250,114 @@ def _rename_or_raise(fs, hadoop, src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def _marker_path(staging: str) -> str:
+    """The swap's COMMIT POINT: a single file in the staging dir listing
+    the partitions the change set EMPTIED (present in the live table,
+    absent from the staged output).  Until it lands (tmp write + atomic
+    rename) no live dir has been touched, so a crash leaves the original
+    table intact and heal_layout drops the staging as a dead partial.
+    After it lands, heal_layout can finish the swap from any crash point
+    — including deleting emptied partitions' live dirs, which the staged
+    dir listing alone cannot represent (zero rows → no dir)."""
+    return f"{staging}/_EMPTIED"
+
+
+def _write_emptied_marker(fs, hadoop, staging: str, emptied: list[int]) -> None:
+    tmp = f"{staging}/_EMPTIED.tmp"
+    out = fs.create(hadoop.Path(tmp), True)
+    out.write(",".join(str(p) for p in sorted(emptied)).encode("ascii"))
+    out.close()
+    _rename_or_raise(fs, hadoop, tmp, _marker_path(staging))
+
+
+def _read_emptied_marker(spark, fs, hadoop, staging: str) -> list[int]:
+    jvm = spark._jvm
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(hadoop.Path(_marker_path(staging))), "US-ASCII")
+    )
+    line = reader.readLine()
+    reader.close()
+    return [int(x) for x in line.split(",")] if line else []
+
+
 def heal_layout(spark, path: str) -> list[int]:
-    """Complete an interrupted partition (or retile) swap.  Swap phases
-    only begin after the respective staging write committed (``_SUCCESS``
-    present), and a committed staging is AUTHORITATIVE: every staged
-    partition dir replaces its live counterpart (the live dir may be a
-    torn partial from a crash mid recursive delete — the staged copy is
-    the only provably complete one), and a committed ``__retiling``
-    rewrite replaces the whole table.  Without ``_SUCCESS``, staging is
-    a dead partial write and is dropped.  Called automatically at the
-    start of upsert/delete/retile; idempotent (completing the staged
-    rewrite IS the op the crash interrupted).  Single writer per table
-    assumed (concurrent maintenance needs a catalog — Iceberg's
-    optimistic commit — not plain parquet).  Returns healed cells."""
+    """Complete an interrupted partition (or retile) swap.
+
+    A partition swap is COMMITTED once the staging dir holds both the
+    write's ``_SUCCESS`` and the ``_EMPTIED`` marker (written after it,
+    atomically — live dirs are only touched after both exist).  A
+    committed staging is AUTHORITATIVE: every staged partition dir
+    replaces its live counterpart (the live dir may be a torn partial
+    from a crash mid recursive delete — the staged copy is the only
+    provably complete one), every partition listed in ``_EMPTIED`` has
+    its live dir removed (the change set deleted all its rows), and each
+    healed partition's stats row is dropped first so a stale MBR can
+    never prune against swapped-in data.  Without both files, staging is
+    a dead partial write and is dropped — the live table was never
+    touched, so the op simply didn't happen.
+
+    A ``__retiling`` rewrite is committed by its data ``_SUCCESS`` and
+    replaces the whole table; the live stats sidecar describes the OLD
+    grid, so it is deleted unconditionally before the new data lands
+    (exclusion-based pruning makes "no sidecar" safe; a stale one is
+    not) and the STAGED sidecar — when committed — is installed, never
+    out-prioritized by a leftover live one.
+
+    Called automatically at the start of upsert/delete/retile;
+    idempotent (completing the staged rewrite IS the op the crash
+    interrupted).  Single writer per table assumed (concurrent
+    maintenance needs a catalog — Iceberg's optimistic commit — not
+    plain parquet).  Returns healed cells."""
     hadoop, fs = _fs(spark)
     # interrupted RETILE swap: the committed rewrite wins over whatever
     # remains of the (possibly partially deleted) table
     retiling = f"{path}__retiling"
     if fs.exists(hadoop.Path(f"{retiling}/_SUCCESS")):
+        # the live sidecar is in the old grid's cell space — paired with
+        # new-grid data it would prune wrongly; drop it BEFORE the data
+        # swap so no crash interleaving can leave the stale pairing
+        fs.delete(hadoop.Path(stats_path(path)), True)
         fs.delete(hadoop.Path(path), True)
         _rename_or_raise(fs, hadoop, retiling, path)
-    if fs.exists(hadoop.Path(stats_path(retiling))):
-        # data rename done, sidecar rename not: finish it (or drop the
-        # orphan if a sidecar already exists)
-        if fs.exists(hadoop.Path(stats_path(path))):
-            fs.delete(hadoop.Path(stats_path(retiling)), True)
+    elif fs.exists(hadoop.Path(retiling)):
+        fs.delete(hadoop.Path(retiling), True)  # dead partial rewrite
+    staged_stats = stats_path(retiling)
+    if fs.exists(hadoop.Path(staged_stats)):
+        # data rename done (above or by the crashed writer): the staged
+        # sidecar is authoritative — never keep a pre-existing live one
+        # over it (it can only be a stale old-grid leftover here)
+        fs.delete(hadoop.Path(stats_path(path)), True)
+        if fs.exists(hadoop.Path(f"{staged_stats}/_SUCCESS")):
+            _rename_or_raise(fs, hadoop, staged_stats, stats_path(path))
         else:
-            _rename_or_raise(fs, hadoop, stats_path(retiling), stats_path(path))
+            fs.delete(hadoop.Path(staged_stats), True)  # torn sidecar write
     staging = _swap_staging(path)
     if not fs.exists(hadoop.Path(staging)):
         return []
     healed: list[int] = []
-    if fs.exists(hadoop.Path(f"{staging}/_SUCCESS")):
+    committed = fs.exists(hadoop.Path(f"{staging}/_SUCCESS")) and fs.exists(
+        hadoop.Path(_marker_path(staging))
+    )
+    if committed:
+        emptied = _read_emptied_marker(spark, fs, hadoop, staging)
         for st in fs.listStatus(hadoop.Path(staging)):
             name = st.getPath().getName()
             if name.startswith("coarse_cell="):
+                # per-partition order: stats row out FIRST, then swap — a
+                # swapped-in partition must never sit next to a stale MBR
+                # row (an upserted doc outside the old MBR would be
+                # pruned away); missing stats just read the partition
+                fs.delete(hadoop.Path(f"{stats_path(path)}/{name}"), True)
                 fs.delete(hadoop.Path(f"{path}/{name}"), True)
                 _rename_or_raise(fs, hadoop, str(st.getPath().toUri().getPath()), f"{path}/{name}")
                 healed.append(int(name.split("=", 1)[1]))
+        for p in emptied:
+            # staged output has no dir for an emptied partition; without
+            # the marker its live dir would survive the crash and the
+            # deleted rows would resurrect
+            fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
+            fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
+            healed.append(p)
     fs.delete(hadoop.Path(staging), True)
     return sorted(healed)
 
@@ -319,16 +389,21 @@ def _rewrite_partitions(spark, merged: DataFrame, path: str, touched: list[int])
         .partitionBy("coarse_cell")
         .parquet(staging)
     )
+    # commit point: record which touched partitions the change EMPTIED
+    # (no staged dir to witness them), then — and only then — start
+    # mutating the live table.  heal_layout can finish everything below
+    # from any crash point; before the marker it drops staging untouched.
+    emptied = [
+        p for p in touched if not fs.exists(hadoop.Path(f"{staging}/coarse_cell={p}"))
+    ]
+    _write_emptied_marker(fs, hadoop, staging, emptied)
     for p in touched:
         fs.delete(hadoop.Path(f"{stats_path(path)}/coarse_cell={p}"), True)
-    emptied: list[int] = []
     for p in touched:
         fs.delete(hadoop.Path(f"{path}/coarse_cell={p}"), True)
         src = f"{staging}/coarse_cell={p}"
         if fs.exists(hadoop.Path(src)):
             _rename_or_raise(fs, hadoop, src, f"{path}/coarse_cell={p}")
-        else:
-            emptied.append(p)
     fs.delete(hadoop.Path(staging), True)
     with dynamic_overwrite(spark):
         (
@@ -464,5 +539,39 @@ def write_bucketed(
         df.write.mode("overwrite")
         .bucketBy(n_buckets, "cell")
         .sortBy("cell", "min_x")
+        .saveAsTable(table_name)
+    )
+
+
+def write_bucketed_cover(
+    rects: DataFrame,
+    table_name: str,
+    grid: Grid,
+    n_buckets: int = 16,
+    prefix: str = "",
+) -> None:
+    """Write the COVER-exploded side of a spatial join as a cell-bucketed
+    table: one row per (cell, doc) the rect touches, bucketed+sorted on
+    ``cell`` with the join-side column names already applied (``prefix``
+    = "a_"/"b_").  Two tables written this way feed
+    ``operators.spatial_join.spatial_join_bucketed`` — the cell
+    sort-merge join runs with ZERO exchange on either side, the explode
+    and the shuffle paid once at write time and amortized over every
+    subsequent join (SURVEY.md §4.2; the persistent-index analog of the
+    reference's saved R-tree)."""
+    from rtree_cpp_spark.operators.cover import with_cover_cells
+
+    sel = rects.select(
+        F.col("doc_id").alias(f"{prefix}doc_id"),
+        F.col("min_x").alias(f"{prefix}min_x"),
+        F.col("min_y").alias(f"{prefix}min_y"),
+        F.col("max_x").alias(f"{prefix}max_x"),
+        F.col("max_y").alias(f"{prefix}max_y"),
+    )
+    (
+        with_cover_cells(sel, grid, prefix=prefix)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
         .saveAsTable(table_name)
     )

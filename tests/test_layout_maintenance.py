@@ -213,10 +213,12 @@ def test_heal_completes_interrupted_swap(spark, rects_a_pdf, table):
     full = layout.read_layout(spark, table).toPandas()
     victim = int(full["coarse_cell"].mode()[0])
     staging = layout._swap_staging(table)
-    # craft the crash state: staging holds the victim's (new) data +
-    # _SUCCESS; the live dir is already deleted
+    # craft the crash state: committed staging (_SUCCESS + _EMPTIED
+    # marker) holding the victim's (new) data; the live dir is already
+    # deleted
     os.makedirs(staging, exist_ok=True)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
+    open(os.path.join(staging, "_EMPTIED"), "w").close()
     shutil.move(
         os.path.join(table, f"coarse_cell={victim}"),
         os.path.join(staging, f"coarse_cell={victim}"),
@@ -235,6 +237,180 @@ def test_heal_completes_interrupted_swap(spark, rects_a_pdf, table):
     os.makedirs(os.path.join(staging, "coarse_cell=9999"), exist_ok=True)
     assert layout.heal_layout(spark, table) == []
     assert not os.path.exists(staging)
+
+
+def test_heal_swap_without_marker_is_dead(spark, rects_a_pdf, table):
+    """Crash after the staged write's _SUCCESS but before the _EMPTIED
+    marker: no live dir has been touched yet, so the op never happened —
+    heal must drop the staging and leave the table byte-identical (if it
+    swapped without the marker it couldn't know which partitions the op
+    emptied, half-applying a delete)."""
+    import shutil
+
+    full = sorted(layout.read_layout(spark, table).toPandas()["doc_id"])
+    staging = layout._swap_staging(table)
+    victim = 0
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()  # no _EMPTIED
+    live = os.path.join(table, f"coarse_cell={victim}")
+    if os.path.exists(live):
+        shutil.copytree(live, os.path.join(staging, f"coarse_cell={victim}"))
+    assert layout.heal_layout(spark, table) == []
+    assert not os.path.exists(staging)
+    assert sorted(layout.read_layout(spark, table).toPandas()["doc_id"]) == full
+
+
+def test_heal_swap_deletes_emptied_partition(spark, rects_a_pdf, table):
+    """Crash after the marker committed but before the swap loop touched
+    an EMPTIED partition: its live dir must not resurrect the deleted
+    rows — heal removes it (and its stats row) from the marker alone."""
+    full = layout.read_layout(spark, table).toPandas()
+    victim = int(full["coarse_cell"].mode()[0])
+    staging = layout._swap_staging(table)
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    with open(os.path.join(staging, "_EMPTIED"), "w") as f:
+        f.write(str(victim))
+    assert os.path.exists(os.path.join(table, f"coarse_cell={victim}"))
+    healed = layout.heal_layout(spark, table)
+    assert healed == [victim]
+    assert not os.path.exists(os.path.join(table, f"coarse_cell={victim}"))
+    st = layout.read_partition_stats(spark, table).toPandas()
+    assert victim not in set(st["coarse_cell"])
+    got = layout.read_layout(spark, table).toPandas()
+    assert sorted(got["doc_id"]) == sorted(
+        full[full["coarse_cell"] != victim]["doc_id"]
+    )
+
+
+def test_heal_swap_drops_stale_stats_row(spark, rects_a_pdf, table):
+    """Crash between the marker and the stats-delete loop: the victim's
+    live stats row still describes the OLD data.  After heal swaps the
+    staged (new) data in, that row must be GONE — a doc upserted outside
+    the old MBR would otherwise be pruned out of range-query results."""
+    import shutil
+
+    from rtree_cpp_spark.operators.range_query import range_query_layout
+
+    full = layout.read_layout(spark, table).toPandas()
+    victim = int(full["coarse_cell"].mode()[0])
+    staging = layout._swap_staging(table)
+    # staged new data: the victim partition plus one doc FAR outside the
+    # victim partition's old MBR (placed by file, not by centroid — the
+    # hive dir is the authority on membership here, as after a real
+    # staged write where the doc's centroid stays in the victim cell)
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    open(os.path.join(staging, "_EMPTIED"), "w").close()
+    shutil.copytree(
+        os.path.join(table, f"coarse_cell={victim}"),
+        os.path.join(staging, f"coarse_cell={victim}"),
+    )
+    vic_rows = full[full["coarse_cell"] == victim]
+    outlier = vic_rows.head(1).copy()
+    outlier["doc_id"] = "OUTLIER"
+    # old victim MBR is a subset of [min, max] of its rows; put the
+    # outlier well outside the union of ALL partitions' x range
+    far_x = float(full["max_x"].max()) + 300.0
+    outlier[["min_x", "max_x"]] = [[far_x, far_x + 1.0]]
+    spark.createDataFrame(outlier.drop(columns=["coarse_cell"])).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(staging, f"coarse_cell={victim}"))
+    healed = layout.heal_layout(spark, table)
+    assert healed == [victim]
+    st = layout.read_partition_stats(spark, table).toPandas()
+    assert victim not in set(st["coarse_cell"])  # stale row dropped
+    # and the pruned range query still finds the outlier (missing stats
+    # row = read the partition; a stale row would have pruned it away)
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["out"],
+                "min_x": [far_x - 1.0], "min_y": [0.0],
+                "max_x": [far_x + 2.0], "max_y": [1024.0],
+            }
+        )
+    )
+    hits = range_query_layout(spark, table, q, GRID).toPandas()
+    assert "OUTLIER" in set(hits["doc_id"])
+
+
+def test_heal_partial_reheal_is_lossless(spark, rects_a_pdf, table):
+    """heal itself crashing mid-swap must stay recoverable: a partition
+    already renamed in (staged dir gone) is NOT in the emptied list, so
+    a re-heal never deletes it."""
+    import shutil
+
+    full = layout.read_layout(spark, table).toPandas()
+    parts = sorted(full["coarse_cell"].unique())[:2]
+    assert len(parts) == 2
+    done, pending = int(parts[0]), int(parts[1])
+    staging = layout._swap_staging(table)
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    open(os.path.join(staging, "_EMPTIED"), "w").close()
+    # `done` was already swapped by the crashed heal (live dir present,
+    # nothing staged); `pending` is still staged, its live dir deleted
+    shutil.move(
+        os.path.join(table, f"coarse_cell={pending}"),
+        os.path.join(staging, f"coarse_cell={pending}"),
+    )
+    healed = layout.heal_layout(spark, table)
+    assert healed == [pending]
+    got = layout.read_layout(spark, table).toPandas()
+    assert sorted(got["doc_id"]) == sorted(full["doc_id"])
+    assert done in set(got["coarse_cell"])
+
+
+def test_heal_retile_never_keeps_old_grid_sidecar(spark, rects_a_pdf, tmp_path):
+    """Crash BEFORE maybe_retile deleted the live (old-grid) sidecar:
+    committed __retiling data+sidecar next to a fully live old table.
+    heal must install the STAGED sidecar, never keep the old-grid one —
+    old-grid coarse_cell MBRs against new-grid data prune wrongly."""
+    path = str(tmp_path / "tbl3")
+    layout.write_layout(spark.createDataFrame(rects_a_pdf), path, Grid(6))
+    full = sorted(layout.read_layout(spark, path).toPandas()["doc_id"])
+    # committed retile at a DIFFERENT grid (different coarse cell space)
+    retiled = path + "__retiling"
+    layout.write_layout(
+        spark.createDataFrame(rects_a_pdf), retiled, Grid(4), coarse_levels_up=2
+    )
+    new_stats = layout.read_partition_stats(spark, retiled).toPandas()
+    layout.heal_layout(spark, path)
+    assert not os.path.exists(retiled)
+    assert not os.path.exists(layout.stats_path(retiled))
+    assert sorted(layout.read_layout(spark, path).toPandas()["doc_id"]) == full
+    st = layout.read_partition_stats(spark, path).toPandas()
+    # the installed sidecar is the STAGED (new-grid) one
+    assert sorted(st["coarse_cell"]) == sorted(new_stats["coarse_cell"])
+    assert set(st["coarse_cell"]) == set(
+        layout.read_layout(spark, path).toPandas()["coarse_cell"].unique()
+    )
+
+
+def test_heal_retile_torn_sidecar_means_no_sidecar(spark, rects_a_pdf, tmp_path):
+    """Crash during write_layout's sidecar write (data committed, sidecar
+    not): heal installs the data and drops BOTH the torn staged sidecar
+    and the stale live one — no sidecar (read everything) beats a wrong
+    one (silently dropped rows)."""
+    path = str(tmp_path / "tbl4")
+    layout.write_layout(spark.createDataFrame(rects_a_pdf), path, Grid(6))
+    full = sorted(layout.read_layout(spark, path).toPandas()["doc_id"])
+    retiled = path + "__retiling"
+    layout.write_layout(
+        spark.createDataFrame(rects_a_pdf), retiled, Grid(4), coarse_levels_up=2
+    )
+    os.remove(os.path.join(layout.stats_path(retiled), "_SUCCESS"))  # torn
+    layout.heal_layout(spark, path)
+    assert sorted(layout.read_layout(spark, path).toPandas()["doc_id"]) == full
+    assert not os.path.exists(layout.stats_path(path))
+    assert not os.path.exists(layout.stats_path(retiled))
+    # exclusion-based pruning degrades to "prune nothing" without sidecar
+    q = pd.DataFrame(
+        {"query_id": ["q"], "min_x": [0.0], "min_y": [0.0],
+         "max_x": [10.0], "max_y": [10.0]}
+    )
+    assert layout.excluded_partitions_for_queries(spark, path, q) == []
 
 
 def test_heal_completes_interrupted_retile(spark, rects_a_pdf, tmp_path):

@@ -246,6 +246,35 @@ def test_multimodal_resize_and_frames(spark):
             assert r["frame_bytes"] == len(expect)
 
 
+def test_bucketed_spatial_join_exchange_free_and_identical(spark, rects_a_pdf, rects_b_pdf):
+    """The FULL spatial join over cover-bucketed tables: no Exchange on
+    either side and row-for-row identical output to the in-memory
+    spatial_join (same refine + reference-point dedup)."""
+    from rtree_cpp_spark.operators.spatial_join import spatial_join, spatial_join_bucketed
+    from rtree_cpp_spark.plans.layout import write_bucketed_cover
+
+    grid = Grid(5)
+    a = spark.createDataFrame(rects_a_pdf)
+    b = spark.createDataFrame(rects_b_pdf)
+    write_bucketed_cover(a, "bktc_a", grid, n_buckets=8, prefix="a_")
+    write_bucketed_cover(b, "bktc_b", grid, n_buckets=8, prefix="b_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spatial_join_bucketed(spark, "bktc_a", "bktc_b", grid)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        got = sorted(map(tuple, joined.collect()))
+        exp = sorted(map(tuple, spatial_join(a, b, grid).collect()))
+        assert got == exp and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktc_a")
+        spark.sql("DROP TABLE IF EXISTS bktc_b")
+
+
 def test_bucketed_join_has_no_exchange(spark, rects_a_pdf, rects_b_pdf):
     """Cell-bucketed tables join with ZERO exchange — the write-once
     amortized shuffle that makes the layout 'the index' at scale."""
