@@ -99,10 +99,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # queries
+#
+# The driver records the FIRST 50 ``queries()`` dict entries.  r02 lost 4
+# green rows to silent truncation, so the gate surface is managed
+# explicitly: ``bench_queries()`` is the FINE-GRAINED operator map (stable
+# names, used by bench.py and scripts), and ``queries()`` derives the gate
+# dict from it — near-duplicate variants merged under one key with a tag
+# column (both variants still value-gated), ordered least-proven-first,
+# and asserted <= 50 so nothing can fall off the end again.
 # ---------------------------------------------------------------------------
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- spatial core (reference R1/R2, J1, K1, tiles) ---
         "spatial_range": lambda s, d: range_query(rects.rects_a(s, d), rects.queries_range(s, d), GRID),
@@ -151,7 +159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d), n_planes=8),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_embeddings(s, d), n_queries=20, k=5, n_planes=4),
         "ann_ivf_assign": lambda s, d: similarity.ivf_assign(_embeddings(s, d), n_centroids=16),
-        "ann_ivf_train": lambda s, d: similarity.ivf_train(_embeddings(s, d), n_centroids=16, n_iters=2),
+        # gate shape: exploded to (cent_id, pos, value) rows — the r02
+        # driver canonicalizer cannot lexsort an array column (pandas
+        # "unhashable type: list"); the array-valued API is still proven
+        # end-to-end by ann_ivf_trained_topk, which consumes it
+        "ann_ivf_train": lambda s, d: similarity.ivf_train(
+            _embeddings(s, d), n_centroids=16, n_iters=2
+        ).select("cent_id", F.posexplode("centroid").alias("pos", "value")),
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _embeddings(s, d), n_queries=20, k=5, n_centroids=16, n_probe=4
         ),
@@ -190,7 +204,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
         "agg_top_orders": _top_orders,
+        # --- storage + streaming paths under the gate ---
+        "layout_range_query": _layout_range_query,
+        "stream_sessionize": _stream_sessionize,
+        "spatial_join_bucketed": _spatial_join_bucketed,
     }
+
+
+def _merged(
+    fine: dict, name_a: str, name_b: str, tagcol: str, tag_a: str, tag_b: str
+) -> Callable[[SparkSession, str], DataFrame]:
+    """One gate entry value-gating TWO fine-grained variants: each tagged
+    with a literal column and unioned, so a defect in either variant
+    still reddens the row."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = fine[name_a](spark, sf_dir).select(F.lit(tag_a).alias(tagcol), "*")
+        b = fine[name_b](spark, sf_dir).select(F.lit(tag_b).alias(tagcol), "*")
+        return a.unionByName(b)
+
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    f = bench_queries()
+    gate: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- least-proven first (red/new/merged in r03) ---
+        "ann_ivf_train": f["ann_ivf_train"],
+        "tiles_zonal_stats": f["tiles_zonal_stats"],
+        "stream_sessionize": f["stream_sessionize"],
+        "layout_range_query": f["layout_range_query"],
+        "events_sessionize": f["events_sessionize"],
+        "events_funnel": f["events_funnel"],
+        "agg_pricing_summary": f["agg_pricing_summary"],
+        "agg_top_orders": f["agg_top_orders"],
+        "spatial_knn": _merged(f, "spatial_knn", "spatial_knn_kernel", "variant", "window", "kernel"),
+        "spatial_knn_join": _merged(
+            f, "spatial_knn_join", "spatial_knn_join_sharded", "variant", "batched", "sharded"
+        ),
+        "spatial_join": _merged(f, "spatial_join", "spatial_join_salted", "variant", "plain", "salted"),
+        "spatial_pip": _merged(f, "spatial_pip", "spatial_pip_strict", "mode", "closed", "open"),
+        "tiles_assign": _merged(f, "tiles_primary", "tiles_cover", "variant", "primary", "cover"),
+        # absorbs ann_lsh_buckets (the 4-plane bucket table is computed
+        # inside lsh_topk; the 8-plane variant keeps its pytest)
+        "ann_lsh_topk": f["ann_lsh_topk"],
+        # --- long-stable rows ---
+        "spatial_range": f["spatial_range"],
+        "spatial_range_count": f["spatial_range_count"],
+        "spatial_contains": f["spatial_contains"],
+        "spatial_idw": f["spatial_idw"],
+        "layout_occupancy": f["layout_occupancy"],
+        "interleaved_extract": f["interleaved_extract"],
+        "interleaved_join_spans": f["interleaved_join_spans"],
+        "tile_stats": f["tile_stats"],
+        "tiles_pyramid": f["tiles_pyramid"],
+        "tiles_hot_cells": f["tiles_hot_cells"],
+        "spatial_distance_join": f["spatial_distance_join"],
+        "dedup_exact": f["dedup_exact"],
+        "dedup_minhash_lsh": f["dedup_minhash_lsh"],
+        "dedup_simhash": f["dedup_simhash"],
+        "dedup_jaccard": f["dedup_jaccard"],
+        "dedup_components": f["dedup_components"],
+        "dedup_simhash_pairs": f["dedup_simhash_pairs"],
+        "pipeline_curation": f["pipeline_curation"],
+        "ann_cosine_topk": f["ann_cosine_topk"],
+        "ann_ivf_assign": f["ann_ivf_assign"],
+        "ann_ivf_topk": f["ann_ivf_topk"],
+        "ann_ivf_trained_topk": f["ann_ivf_trained_topk"],
+        "dedup_embedding": f["dedup_embedding"],
+        "text_token_stats": f["text_token_stats"],
+        "text_lang_id": f["text_lang_id"],
+        "text_quality": f["text_quality"],
+        "text_fingerprint": f["text_fingerprint"],
+        "text_bpe_tokens": f["text_bpe_tokens"],
+        "text_rolling_hash": f["text_rolling_hash"],
+        "multimodal_meta": f["multimodal_meta"],
+        "multimodal_features": f["multimodal_features"],
+        "multimodal_decode": f["multimodal_decode"],
+        "multimodal_resize": f["multimodal_resize"],
+        "multimodal_frame_meta": f["multimodal_frame_meta"],
+        "events_hourly": f["events_hourly"],
+        "events_asof": f["events_asof"],
+    }
+    assert len(gate) <= 50, f"driver records only 50 rows; got {len(gate)}"
+    return gate
 
 
 def _interleaved_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +343,79 @@ def _knn_join_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_sharded(
         rects.rects_a_subset(spark, sf_dir), rects.rects_b(spark, sf_dir), GRID, k=5, n_shards=3
     )
+
+
+def _layout_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full STORAGE path under the gate: write_layout (cell-keyed
+    table + MBR stats sidecar, the STR-bulk-load analog) → heal no-op →
+    MBR partition pruning → range query over the pruned scan.  Same
+    oracle as spatial_range — pruning must be invisible in the values."""
+    import tempfile
+
+    from rtree_cpp_spark.operators.range_query import range_query_layout
+    from rtree_cpp_spark.plans.layout import write_layout
+
+    path = tempfile.mkdtemp(prefix="gate_layout_") + "/tbl"
+    write_layout(rects.rects_a(spark, sf_dir), path, GRID)
+    return range_query_layout(spark, path, rects.queries_range(spark, sf_dir), GRID)
+
+
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING engine under the gate: drain the events table
+    through the availableNow stateful sessionizer
+    (applyInPandasWithState) and reduce the update-mode emissions to
+    their final snapshots — must equal the BATCH sessionize oracle SQL.
+    Single input file → one micro-batch here; the cross-batch state
+    carry is pytest-proven (test_stream_sessionize_matches_batch_across_
+    batches)."""
+    import tempfile
+
+    from rtree_cpp_spark.streaming.stream_ops import stream_sessionize
+
+    work = tempfile.mkdtemp(prefix="gate_stream_sess_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    _events(spark, sf_dir).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode reduction: the last snapshot per (user, session) —
+    # snapshots are monotone (n_events/end_ts non-decreasing, start_ts
+    # fixed), so max/min folds select it without an order column
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("start_ts").alias("start_ts"),
+            F.max("end_ts").alias("end_ts"),
+        )
+        .select("user_id", "session_id", "n_events", "start_ts", "end_ts")
+    )
+
+
+def _spatial_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/fine twin of spatial_join over COVER-BUCKETED tables: the
+    cell SMJ runs with zero exchange (plan-asserted in pytest, output
+    identity asserted there too).  Tables are written once per
+    session+sf — the amortized-write contract bucketing exists for."""
+    from rtree_cpp_spark.operators.spatial_join import spatial_join_bucketed
+    from rtree_cpp_spark.plans.layout import write_bucketed_cover
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    ta, tb = f"bench_bktc_a_{tag}", f"bench_bktc_b_{tag}"
+    if not (spark.catalog.tableExists(ta) and spark.catalog.tableExists(tb)):
+        write_bucketed_cover(rects.rects_a(spark, sf_dir), ta, GRID, n_buckets=32, prefix="a_")
+        write_bucketed_cover(rects.rects_b(spark, sf_dir), tb, GRID, n_buckets=32, prefix="b_")
+    return spatial_join_bucketed(spark, ta, tb, GRID)
 
 
 def _curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +525,14 @@ _COS_DUCK = (
     + " / (SQRT(" + _DOT_DUCK.format(a="q_emb", b="q_emb") + ") * SQRT("
     + _DOT_DUCK.format(a="n_emb", b="n_emb") + "))"
 )
+
+
+def _tag2(sql_a: str, tag_a: str, sql_b: str, tag_b: str, tagcol: str = "variant") -> str:
+    """Oracle twin of ``_merged``: both variants' SQL tagged and unioned."""
+    return (
+        f"SELECT '{tag_a}' AS {tagcol}, * FROM ({sql_a}) ta "
+        f"UNION ALL SELECT '{tag_b}' AS {tagcol}, * FROM ({sql_b}) tb"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -588,6 +766,16 @@ def oracle_sql() -> dict[str, str]:
             + f" SELECT cent_id, c_emb AS centroid FROM c{n_iters}"
         )
 
+    # gate twin of the exploded ann_ivf_train output: (cent_id, pos,
+    # value) rows — flat doubles the driver canonicalizer can lexsort
+    ivf_train_gate_sql = (
+        "SELECT cent_id, CAST(i - 1 AS INT) AS pos, "
+        "centroid[CAST(i AS INT)] AS value "
+        "FROM (SELECT cent_id, centroid, "
+        "unnest(generate_series(1, len(centroid))) AS i FROM ("
+        + _ivf_train_sql()
+        + ") tc) x"
+    )
     # train→serve composition: same topk plan, centroid CTE swapped for
     # the k-means-trained table (assignment AND probing both use it)
     ivf_trained_topk_sql = ivf_topk_sql.replace(
@@ -610,22 +798,47 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN ROUND(CAST(len(list_filter(toks, x -> x IN (" + stop_in + "))) AS DOUBLE) "
         "/ CAST(len(toks) AS DOUBLE), 6) >= 0.05e0 THEN 'en' ELSE 'unk' END AS lang_pred FROM t"
     )
+    range_sql = (
+        f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
+        f"SELECT q.query_id, a.doc_id FROM q JOIN a ON {qa_join}"
+    )
+    pip_sql_tpl = (
+        f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
+        "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
+        "ON q.x {gt} r.min_x AND q.x {lt} r.max_x AND q.y {gt} r.min_y AND q.y {lt} r.max_y"
+    )
+    sessionize_sql = (
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
+        "OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0e0 THEN 1 ELSE 0 END AS new_session "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sessed AS (SELECT user_id, ts, CAST(SUM(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+        "FROM flagged) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
+        "FROM sessed GROUP BY user_id, session_id"
+    )
+    tiles_primary_sql = (
+        f"WITH r AS ({RECTS_A_SQL}) "
+        f"SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell, doc_id FROM r"
+    )
+    tiles_cover_sql = (
+        f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE} "
+        f"SELECT cx * {GRID.n} + cy AS cell, doc_id FROM gxy"
+    )
     return {
-        "spatial_range": (
-            f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
-            f"SELECT q.query_id, a.doc_id FROM q JOIN a ON {qa_join}"
-        ),
+        "spatial_range": range_sql,
+        # the layout path must be value-invisible: write_layout + MBR
+        # partition pruning + range query == the plain range oracle
+        "layout_range_query": range_sql,
         "spatial_range_count": (
             f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}), "
             f"hits AS (SELECT q.query_id, COUNT(*) AS c FROM q JOIN a ON {qa_join} GROUP BY q.query_id) "
             "SELECT q.query_id, COALESCE(hits.c, 0) AS n_hits FROM q LEFT JOIN hits USING (query_id)"
         ),
-        "spatial_join": join_sql,
-        "spatial_join_salted": join_sql,
-        "spatial_knn": knn_sql,
-        "spatial_knn_kernel": knn_sql,
-        "spatial_knn_join": knn_join_sql,
-        "spatial_knn_join_sharded": knn_join_sql,
+        "spatial_join": _tag2(join_sql, "plain", join_sql, "salted"),
+        "spatial_knn": _tag2(knn_sql, "window", knn_sql, "kernel"),
+        "spatial_knn_join": _tag2(knn_join_sql, "batched", knn_join_sql, "sharded"),
         "spatial_idw": (
             f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}), "
             f"v AS ({rects.RECT_VALUES_SQL}), "
@@ -646,15 +859,10 @@ def oracle_sql() -> dict[str, str]:
             "ON q.max_x >= a.max_x AND q.min_x <= a.min_x "
             "AND q.max_y >= a.max_y AND q.min_y <= a.min_y"
         ),
-        "spatial_pip": (
-            f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
-            "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
-            "ON q.x >= r.min_x AND q.x <= r.max_x AND q.y >= r.min_y AND q.y <= r.max_y"
-        ),
-        "spatial_pip_strict": (
-            f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
-            "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
-            "ON q.x > r.min_x AND q.x < r.max_x AND q.y > r.min_y AND q.y < r.max_y"
+        "spatial_pip": _tag2(
+            pip_sql_tpl.format(gt=">=", lt="<="), "closed",
+            pip_sql_tpl.format(gt=">", lt="<"), "open",
+            tagcol="mode",
         ),
         "interleaved_extract": (
             f"WITH r AS ({RECTS_A_SQL}) "
@@ -677,14 +885,7 @@ def oracle_sql() -> dict[str, str]:
             f"COUNT(*) AS n FROM ({RECTS_A_SQL}) GROUP BY 1)"
             for lvl in (4, 5, 6)
         ),
-        "tiles_primary": (
-            f"WITH r AS ({RECTS_A_SQL}) "
-            f"SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell, doc_id FROM r"
-        ),
-        "tiles_cover": (
-            f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE} "
-            f"SELECT cx * {GRID.n} + cy AS cell, doc_id FROM gxy"
-        ),
+        "tiles_assign": _tag2(tiles_primary_sql, "primary", tiles_cover_sql, "cover"),
         "tile_stats": (
             f"WITH r AS ({RECTS_A_SQL}), {_COVER_FULL_CTE} "
             f"SELECT cx * {GRID.n} + cy AS cell, COUNT(*) AS n_docs, "
@@ -727,7 +928,10 @@ def oracle_sql() -> dict[str, str]:
             f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE}, "
             f"cells AS (SELECT doc_id, cx * {GRID.n} + cy AS cell FROM gxy) "
             f"SELECT doc_id, COUNT(*) AS n_cells, "
-            f"SUM((cell * {_RASTER_K}) % 1000) AS sum_value, "
+            # BIGINT cast: DuckDB SUM(BIGINT) yields HUGEINT, which lands
+            # in pandas as float64 and breaks the driver's dtype-
+            # sensitive hash (the r02 red row)
+            f"CAST(SUM((cell * {_RASTER_K}) % 1000) AS BIGINT) AS sum_value, "
             f"MIN((cell * {_RASTER_K}) % 1000) AS min_value, "
             f"MAX((cell * {_RASTER_K}) % 1000) AS max_value "
             "FROM cells GROUP BY doc_id"
@@ -753,11 +957,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": simhash_pairs_sql,
         "dedup_jaccard": jaccard_sql,
         "ann_cosine_topk": cosine_sql,
-        "ann_lsh_buckets": lsh_buckets_sql,
         "ann_lsh_topk": lsh_topk_sql,
         "ann_ivf_assign": ivf_assign_sql,
         "ann_ivf_topk": ivf_topk_sql,
-        "ann_ivf_train": _ivf_train_sql(),
+        "ann_ivf_train": ivf_train_gate_sql,
         "ann_ivf_trained_topk": ivf_trained_topk_sql,
         "dedup_embedding": neardup_sql,
         "text_token_stats": (
@@ -865,17 +1068,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts) "
             "SELECT click_id, user_id, click_ts, view_id, view_ts FROM cand WHERE rn = 1"
         ),
-        "events_sessionize": (
-            "WITH flagged AS (SELECT user_id, ts, event_id, "
-            "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
-            "OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0e0 THEN 1 ELSE 0 END AS new_session "
-            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "sessed AS (SELECT user_id, ts, CAST(SUM(new_session) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
-            "FROM flagged) "
-            "SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
-            "FROM sessed GROUP BY user_id, session_id"
-        ),
+        "events_sessionize": sessionize_sql,
+        # the streaming engine must land on the BATCH sessionize spec
+        "stream_sessionize": sessionize_sql,
         "events_funnel": (
             "WITH typed AS (SELECT user_id, event_type, ts FROM events "
             "WHERE event_type IN ('view', 'click', 'purchase')), "

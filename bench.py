@@ -38,6 +38,9 @@ def build_session(cpus: int) -> SparkSession:
         # salted join: 67.6s G1 vs 8.4s ParallelGC at local[32])
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
+        # r02's BENCH json line was corrupted in the driver's capture;
+        # keep stdout clean of progress-bar control characters
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
@@ -51,9 +54,12 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qmap = entrymod.queries()
+    # fine-grained operator map: stable per-query names across rounds
+    # (the gate's queries() merges near-duplicate variants, bench doesn't)
+    qmap = entrymod.bench_queries()
     headline = [
         "spatial_join_salted",
+        "spatial_join_bucketed",
         "spatial_range",
         "spatial_knn",
         "spatial_knn_kernel",
@@ -145,7 +151,17 @@ def main() -> None:
             "note": "measured by scripts/scaling_bench.py; see BENCH/BASELINE.md",
         }
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # newline first (detach from any earlier partial stderr/stdout mix),
+    # flush immediately, and keep a file copy the round can fall back to
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -93,6 +93,24 @@ def center_cols(min_x: Column, min_y: Column, max_x: Column, max_y: Column) -> t
     return (min_x + max_x) / 2.0, (min_y + max_y) / 2.0
 
 
+def width_col(min_x: Column, max_x: Column) -> Column:
+    """(reference P8, Rectangle.cpp:39-41)"""
+    return max_x - min_x
+
+
+def height_col(min_y: Column, max_y: Column) -> Column:
+    """(reference P8, Rectangle.cpp:43-45)"""
+    return max_y - min_y
+
+
+def aspect_ratio_col(min_x: Column, min_y: Column, max_x: Column, max_y: Column) -> Column:
+    """width / height (reference P8, Rectangle.cpp:47-53).  Degenerate
+    zero-height rects yield NULL (``try_divide`` — ANSI mode would throw,
+    the reference's float division yields inf) — documented deviation,
+    NULL is the join/filter-safe Spark idiom."""
+    return F.try_divide(width_col(min_x, max_x), height_col(min_y, max_y))
+
+
 # Dialect-neutral SQL strings (shared verbatim between Spark SQL and the
 # DuckDB oracle so the two can never drift).
 

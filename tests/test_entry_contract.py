@@ -69,6 +69,22 @@ def test_every_query_has_entry_or_documented_gap():
     assert no_oracle <= {"multimodal_features"}
 
 
+def test_gate_surface_is_bounded_and_fully_oracled(spark):
+    """The driver records only the first 50 queries() entries (r02 lost 4
+    rows to this): the gate dict must stay <= 50, every key oracled, and
+    every fine-grained bench query must still be importable/buildable."""
+    assert len(QUERIES) <= 50
+    assert set(QUERIES) == set(ORACLES)
+    fine = entrymod.bench_queries()
+    # every merged-away fine variant still exists for bench + tests
+    for k in (
+        "spatial_knn_kernel", "spatial_knn_join_sharded", "spatial_join_salted",
+        "spatial_pip_strict", "tiles_primary", "tiles_cover", "ann_lsh_buckets",
+        "spatial_join_bucketed",
+    ):
+        assert k in fine, k
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()

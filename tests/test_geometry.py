@@ -94,3 +94,30 @@ def test_column_exprs_match_numpy(spark):
     ).toPandas()["d"].to_numpy()
     exp = geo.sq_dist_np(pdf.px, pdf.py, pdf.ax0, pdf.ay0, pdf.ax1, pdf.ay1, dtype=np.float64)
     np.testing.assert_allclose(got, exp, rtol=0, atol=0)
+
+
+def test_width_height_aspect(spark):
+    """P8 named helpers (reference Rectangle.cpp:39-53): width/height/
+    aspect on the 0.25 lattice are exact; zero-height aspect is NULL."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "x0": [0.0, 10.25, 5.0],
+            "y0": [0.0, 2.0, 7.0],
+            "x1": [8.0, 14.25, 5.0],
+            "y1": [4.0, 2.0, 9.5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        geo.width_col(F.col("x0"), F.col("x1")).alias("w"),
+        geo.height_col(F.col("y0"), F.col("y1")).alias("h"),
+        geo.aspect_ratio_col(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")).alias("a"),
+    ).toPandas()
+    assert got["w"].tolist() == [8.0, 4.0, 0.0]
+    assert got["h"].tolist() == [4.0, 0.0, 2.5]
+    assert got["a"][0] == 2.0
+    assert pd.isna(got["a"][1])  # zero height -> NULL, not inf
+    assert got["a"][2] == 0.0

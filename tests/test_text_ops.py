@@ -287,6 +287,50 @@ def test_funnel_ordered_semantics(spark):
     assert got == {"view": 3, "click": 2, "purchase": 1}
 
 
+def test_funnel_pathological_single_user(spark):
+    """Skew hardening (docs/SCALE.md): one user owning a huge share of
+    the event stream funnels through ONE per-user array build — the
+    groupBy(user) key is maximally skewed.  Correctness must hold and the
+    arrays must be time-sorted regardless of input partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from rtree_cpp_spark.operators import events as ev
+
+    n = 60_000
+    rng = np.random.default_rng(7)
+    # one hot user interleaving all three steps in random input order,
+    # plus a handful of normal users
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.permutation(n), unit="s"
+    )
+    hot = pd.DataFrame(
+        {
+            "user_id": 99,
+            "event_type": np.where(
+                np.arange(n) % 3 == 0, "view",
+                np.where(np.arange(n) % 3 == 1, "click", "purchase"),
+            ),
+            "ts": ts,
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_type": ["view", "click", "view"],
+            "ts": pd.to_datetime(
+                ["2024-01-02 00:00:00", "2024-01-02 00:00:01", "2024-01-02 00:00:00"]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pd.concat([hot, cold], ignore_index=True)).repartition(8)
+    got = {r.step_name: r.n_users for r in ev.funnel(df).collect()}
+    # the hot user has every type scattered through time: with 20k of
+    # each type uniformly interleaved, a click after the first view and a
+    # purchase after that click exist with certainty
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
 def test_rolling_hash_null_text_parity(spark):
     """NULL text hashes to NULL in BOTH impls (the kernel must not hash
     the literal string 'None')."""
