@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
-from rtree_cpp_spark.operators import dedup, events, multimodal, similarity, text_analysis
+from rtree_cpp_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    sampling,
+    similarity,
+    text_analysis,
+)
 from rtree_cpp_spark.operators.knn import idw_interpolate, knn, knn_join, knn_kernel
 from rtree_cpp_spark.operators.pip_join import pip_join
 from rtree_cpp_spark.operators.range_query import contains_query, range_count, range_query
@@ -182,6 +189,12 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: text_analysis.fingerprint(_docs(s, d)),
         "text_bpe_tokens": lambda s, d: text_analysis.bpe_token_stats(_docs(s, d)),
         "text_rolling_hash": lambda s, d: text_analysis.rolling_hash(_docs(s, d)),
+        "text_repetition": lambda s, d: text_analysis.repetition_stats(_docs(s, d)),
+        "text_decontaminate": lambda s, d: text_analysis.decontaminate(_docs(s, d)),
+        "text_pii_scan": lambda s, d: text_analysis.pii_scan(
+            text_analysis.with_synthetic_pii(_docs(s, d))
+        ),
+        "sample_mixing": lambda s, d: sampling.stratified_sample(_docs(s, d)),
         # --- multimodal plumbing ---
         "multimodal_meta": lambda s, d: multimodal.media_meta(_docs(s, d)),
         "multimodal_features": lambda s, d: multimodal.extract_features(
@@ -226,10 +239,37 @@ def _merged(
     return run
 
 
+def _joined(fine: dict, names: list[str], key: str = "doc_id") -> Callable[[SparkSession, str], DataFrame]:
+    """One gate entry value-gating SEVERAL same-keyed fine-grained
+    queries: inner-joined on ``key`` (all are per-doc maps over the
+    same doc set, so the join is row-count-preserving), every non-key
+    output column of every member lands in the gate row."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for n in names:
+            df = fine[n](spark, sf_dir)
+            out = df if out is None else out.join(df, key)
+        return out
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f = bench_queries()
     gate: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- least-proven first (red/new/merged in r03) ---
+        "text_repetition": f["text_repetition"],
+        "text_decontaminate": f["text_decontaminate"],
+        "text_pii_scan": f["text_pii_scan"],
+        "sample_mixing": f["sample_mixing"],
+        # per-doc text maps share the doc_id key: joined into two gate
+        # rows (every member column still value-gated) to keep the
+        # surface <= 50 with room for the new operators above
+        "text_stats": _joined(
+            f, ["text_token_stats", "text_lang_id", "text_quality", "text_bpe_tokens"]
+        ),
+        "text_hashes": _joined(f, ["text_fingerprint", "text_rolling_hash"]),
         "ann_ivf_train": f["ann_ivf_train"],
         "tiles_zonal_stats": f["tiles_zonal_stats"],
         "stream_sessionize": f["stream_sessionize"],
@@ -272,12 +312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": f["ann_ivf_topk"],
         "ann_ivf_trained_topk": f["ann_ivf_trained_topk"],
         "dedup_embedding": f["dedup_embedding"],
-        "text_token_stats": f["text_token_stats"],
-        "text_lang_id": f["text_lang_id"],
-        "text_quality": f["text_quality"],
-        "text_fingerprint": f["text_fingerprint"],
-        "text_bpe_tokens": f["text_bpe_tokens"],
-        "text_rolling_hash": f["text_rolling_hash"],
         "multimodal_meta": f["multimodal_meta"],
         "multimodal_features": f["multimodal_features"],
         "multimodal_decode": f["multimodal_decode"],
@@ -798,6 +832,122 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN ROUND(CAST(len(list_filter(toks, x -> x IN (" + stop_in + "))) AS DOUBLE) "
         "/ CAST(len(toks) AS DOUBLE), 6) >= 0.05e0 THEN 'en' ELSE 'unk' END AS lang_pred FROM t"
     )
+    tok_sql = (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens, "
+        "CAST(length(text) AS INT) AS n_chars FROM documents"
+    )
+    qual_sql = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+        "SELECT doc_id, ROUND(0.5e0 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0e0, 1.0e0) "
+        "+ 0.5e0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)), 6) "
+        "AS quality FROM t"
+    )
+    fp_sql = (
+        "SELECT doc_id, md5(lower(text)) AS fp_hash, "
+        + _H64_DUCK.format(s="lower(text)")
+        + " AS fp64 FROM documents"
+    )
+    bpe_sql = (
+        "WITH t AS (SELECT doc_id, "
+        f"regexp_extract_all(text, '{text_analysis.BPE_REGEX}') AS toks FROM documents) "
+        "SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens, "
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) AS n_word_tokens, "
+        "CAST(len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) "
+        "AS n_symbol_tokens FROM t"
+    )
+    roll_sql = (
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, length(text)), "
+        "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {text_analysis.ROLL_B} + c) % {text_analysis.ROLL_P}) "
+        "AS roll_hash FROM documents"
+    )
+    # joined gate rows: per-doc maps composed on doc_id (row-preserving)
+    text_stats_sql = (
+        f"SELECT a.doc_id, a.n_tokens, a.n_distinct_tokens, a.n_chars, "
+        "b.stop_ratio, b.lang_pred, c.quality, "
+        "d.n_bpe_tokens, d.n_word_tokens, d.n_symbol_tokens "
+        f"FROM ({tok_sql}) a JOIN ({lang_sql}) b USING (doc_id) "
+        f"JOIN ({qual_sql}) c USING (doc_id) JOIN ({bpe_sql}) d USING (doc_id)"
+    )
+    text_hashes_sql = (
+        f"SELECT a.doc_id, a.fp_hash, a.fp64, b.roll_hash "
+        f"FROM ({fp_sql}) a JOIN ({roll_sql}) b USING (doc_id)"
+    )
+    # Gopher-style repetition metrics (operators/text_analysis.py
+    # repetition_stats): same per-doc array arithmetic in list functions
+    _2GRAMS = (
+        "CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1), "
+        "i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    repetition_sql = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        f"g AS (SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd, "
+        f"{_2GRAMS} AS grams FROM t) "
+        "SELECT doc_id, "
+        "ROUND(CAST(list_max(list_transform(list_distinct(toks), "
+        "x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / CAST(n AS DOUBLE), 6) "
+        "AS top_token_frac, "
+        "ROUND(CAST(list_max(list_transform(list_distinct(grams), "
+        "x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) * 2e0 / CAST(n AS DOUBLE), 6) "
+        "AS top_2gram_frac, "
+        "ROUND(CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_token_frac FROM g"
+    )
+    # decontamination (n=3, bench = doc_id % 97 == 0) — operators/
+    # text_analysis.py decontaminate
+    _3GRAMS = (
+        "CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks) - 2), "
+        "i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || "
+        "toks[CAST(i + 2 AS INT)]) ELSE CAST([] AS VARCHAR[]) END"
+    )
+    decontaminate_sql = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        f"g AS (SELECT doc_id, list_distinct({_3GRAMS}) AS grams FROM t), "
+        "bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0), "
+        "train AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0), "
+        "tg AS (SELECT doc_id, unnest(grams) AS gram FROM train), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM tg "
+        "JOIN bench USING (gram) GROUP BY doc_id) "
+        "SELECT train.doc_id, CAST(len(train.grams) AS INT) AS n_grams, "
+        "COALESCE(hits.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated, "
+        "CASE WHEN len(train.grams) = 0 THEN 0.0e0 ELSE "
+        "ROUND(CAST(COALESCE(hits.n_contaminated, 0) AS DOUBLE) "
+        "/ CAST(len(train.grams) AS DOUBLE), 6) END AS contamination_frac "
+        "FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id"
+    )
+    # PII scan over deterministically augmented text — operators/
+    # text_analysis.py with_synthetic_pii + pii_scan; patterns are
+    # RE2/Java-regex-portable by construction
+    pii_aug = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR) "
+        "|| '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 call 555-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+    )
+    pii_scan_sql = (
+        f"WITH aug AS (SELECT doc_id, {pii_aug} AS text FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{text_analysis.PII_EMAIL}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{text_analysis.PII_IPV4}')) AS INT) AS n_ips, "
+        f"CAST(len(regexp_extract_all(text, '{text_analysis.PII_PHONE}')) AS INT) AS n_phones, "
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{text_analysis.PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{text_analysis.PII_IPV4}', '<IP>', 'g'), "
+        f"'{text_analysis.PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash FROM aug"
+    )
+    # temperature-stratified sampling — operators/sampling.py
+    # stratified_sample(group_col='lang', k_scale=4): quota arithmetic is
+    # floor/sqrt on integer counts only (no cross-group float sum)
+    mix_h64 = _H64_DUCK.format(s="CAST(doc_id AS VARCHAR)")
+    sample_mixing_sql = (
+        "WITH c AS (SELECT lang, COUNT(*) AS c_g FROM documents GROUP BY lang), "
+        "q AS (SELECT lang, LEAST(c_g, CAST(FLOOR(sqrt(CAST(c_g AS DOUBLE)) * 4e0) AS BIGINT)) "
+        "AS quota FROM c), "
+        "r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        f"ORDER BY {mix_h64}, doc_id) AS INT) AS rnk FROM documents) "
+        "SELECT r.doc_id, r.lang, r.rnk FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota"
+    )
     range_sql = (
         f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
         f"SELECT q.query_id, a.doc_id FROM q JOIN a ON {qa_join}"
@@ -963,38 +1113,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_train": ivf_train_gate_sql,
         "ann_ivf_trained_topk": ivf_trained_topk_sql,
         "dedup_embedding": neardup_sql,
-        "text_token_stats": (
-            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
-            "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens, "
-            "CAST(length(text) AS INT) AS n_chars FROM documents"
-        ),
-        "text_lang_id": lang_sql,
-        "text_quality": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
-            "SELECT doc_id, ROUND(0.5e0 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0e0, 1.0e0) "
-            "+ 0.5e0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)), 6) "
-            "AS quality FROM t"
-        ),
-        "text_fingerprint": (
-            "SELECT doc_id, md5(lower(text)) AS fp_hash, "
-            + _H64_DUCK.format(s="lower(text)")
-            + " AS fp64 FROM documents"
-        ),
-        "text_bpe_tokens": (
-            "WITH t AS (SELECT doc_id, "
-            f"regexp_extract_all(text, '{text_analysis.BPE_REGEX}') AS toks FROM documents) "
-            "SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens, "
-            "CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) AS n_word_tokens, "
-            "CAST(len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT) "
-            "AS n_symbol_tokens FROM t"
-        ),
-        "text_rolling_hash": (
-            "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            "list_transform(generate_series(1, length(text)), "
-            "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
-            f"(acc, c) -> (acc * {text_analysis.ROLL_B} + c) % {text_analysis.ROLL_P}) "
-            "AS roll_hash FROM documents"
-        ),
+        "text_stats": text_stats_sql,
+        "text_hashes": text_hashes_sql,
+        "text_repetition": repetition_sql,
+        "text_decontaminate": decontaminate_sql,
+        "text_pii_scan": pii_scan_sql,
+        "sample_mixing": sample_mixing_sql,
         "multimodal_meta": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
             "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"

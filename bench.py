@@ -88,6 +88,10 @@ def main() -> None:
         "text_quality",
         "text_bpe_tokens",
         "text_rolling_hash",
+        "text_repetition",
+        "text_decontaminate",
+        "text_pii_scan",
+        "sample_mixing",
         "multimodal_frame_meta",
         "events_hourly",
         "events_sessionize",

@@ -154,3 +154,163 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         h.alias("fp_hash"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp64"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_token_frac, top_2gram_frac, dup_token_frac):
+    Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    'repetition' filters — public paper) as pure Column expressions.
+
+    - top_token_frac: occurrences of the most frequent token / n_tokens
+    - top_2gram_frac: chars-equivalent fraction covered by the most
+      frequent 2-gram (count * 2 / n_tokens)
+    - dup_token_frac: (n_tokens - n_distinct_tokens) / n_tokens
+
+    Scale shape: zero shuffle — every metric is a per-doc array
+    expression (whole-stage codegen), so the operator is embarrassingly
+    parallel over doc partitions.  The inner top-count is
+    O(distinct x n) per doc; for pathological documents (books with
+    huge vocabularies) the explode + groupBy(doc_id, gram) + max plan
+    is the linear-cost alternative — at web-doc sizes the quadratic
+    term is ~1e4 ops/doc and the shuffle it avoids dominates.
+    Single-token docs have no 2-gram: top_2gram_frac is NULL there (the
+    DuckDB list_max(empty) twin agrees)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    top_tok = F.array_max(
+        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_gram = F.array_max(
+        F.transform(F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    )
+    nd_ = n.cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(top_tok.cast("double") / nd_, 6).alias("top_token_frac"),
+        F.round(top_gram.cast("double") * 2.0 / nd_, 6).alias("top_2gram_frac"),
+        F.round((n - nd).cast("double") / nd_, 6).alias("dup_token_frac"),
+    )
+
+
+def decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97) -> DataFrame:
+    """(doc_id, n_grams, n_contaminated, contamination_frac): n-gram
+    overlap of each training document against a benchmark/eval subset —
+    the train-test decontamination pass every published LLM data
+    pipeline runs (GPT-3 appendix C's 13-gram rule; public knowledge).
+
+    The benchmark set here is the deterministic ``doc_id % bench_mod
+    == 0`` slice (an eval set is a tiny fraction of the corpus); n=3
+    by default so the shared-vocabulary synthetic corpus produces
+    overlap signal — production uses 8..13.
+
+    Scale shape: the benchmark's distinct-gram set is SMALL (eval sets
+    are thousands of docs, not billions) → broadcast hash join against
+    the exploded per-doc distinct grams; one groupBy(doc_id) count;
+    the final attach is a left join on doc_id so zero-overlap docs
+    keep a 0 row.  No shuffle touches the gram strings of the full
+    corpus beyond the explode itself."""
+    toks = F.split(F.col("text"), " ")
+    size = F.size(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = docs.select("doc_id", F.array_distinct(grams).alias("grams"))
+    bench = (
+        with_grams.where(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = with_grams.where(F.col("doc_id") % bench_mod != 0)
+    train_grams = train.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        train_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    out = (
+        train.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")))
+    )
+    # docs shorter than n tokens have 0 grams: contamination is 0 by
+    # definition (guarded — ANSI mode raises on 0/0 even for doubles)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_frac"),
+    )
+
+
+# PII patterns: RE2-safe (no backrefs/lookaround) so the same source
+# string compiles identically under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+
+def with_synthetic_pii(docs: DataFrame, every: int = 7) -> DataFrame:
+    """Deterministically append PII-shaped contact lines to every
+    ``every``-th document.  The synthetic corpus is plain words; this
+    gives the scanner real matches without external data (same pattern
+    as the synthetic raster in zonal_stats)."""
+    aug = F.when(
+        F.col("doc_id") % every == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", aug)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, redacted_hash): PII
+    detection + redaction over the text column — counts per PII class
+    and the md5 of the redacted text (emails → <EMAIL>, IPv4 → <IP>,
+    phones → <PHONE>, applied in that fixed order).
+
+    Pure JVM regexp Column expressions — zero shuffle, codegen'd,
+    embarrassingly parallel; the production-scale story is identical to
+    any per-doc map.  Patterns are deliberately RE2-compatible so the
+    DuckDB oracle runs the same source strings."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_hash"),
+    )

@@ -366,3 +366,79 @@ def test_simhash_pairs_wider_signature(spark):
         for r in dedup.simhash_pairs(docs, max_hamming=3, bits=32, n_bands=4).collect()
     }
     assert got == brute
+
+
+def test_repetition_stats_known_values(spark):
+    texts = [
+        "a a a a",                  # top token 4/4, top 2-gram "a a" 3 -> 6/4 capped? no cap: 1.5
+        "a b a b a b",              # top token 3/6, "a b" x3 -> 6/6, dup (6-2)/6
+        "w x y z",                  # all distinct: 1/4, 2-grams unique 2/4
+        "solo",                     # single token: 2-gram frac NULL
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = {r.doc_id: r for r in text_analysis.repetition_stats(docs).collect()}
+    assert got[0].top_token_frac == 1.0 and got[0].dup_token_frac == 0.75
+    assert got[0].top_2gram_frac == 1.5  # overlapping grams can exceed 1 by design
+    assert got[1].top_token_frac == 0.5 and got[1].top_2gram_frac == 1.0
+    assert abs(got[1].dup_token_frac - round(4 / 6, 6)) < 1e-12
+    assert got[2].top_token_frac == 0.25 and got[2].top_2gram_frac == 0.5
+    assert got[3].top_2gram_frac is None and got[3].top_token_frac == 1.0
+
+
+def test_decontaminate_overlap(spark):
+    # doc 0 (0 % 97 == 0) is the benchmark; doc 1 shares a 3-gram run,
+    # doc 2 shares nothing
+    texts = {
+        0: "alpha beta gamma delta",
+        1: "x alpha beta gamma y",
+        2: "p q r s t u",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {r.doc_id: r for r in text_analysis.decontaminate(docs, n=3).collect()}
+    assert set(got) == {1, 2}  # benchmark doc excluded from the scan side
+    assert got[1].n_grams == 3 and got[1].n_contaminated == 1
+    assert got[1].contamination_frac == round(1 / 3, 6)
+    assert got[2].n_contaminated == 0 and got[2].contamination_frac == 0.0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "mail a@b.com and c.d@e.org ip 192.168.0.1 call 555-1234 end",
+                    "no pii here",
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r for r in text_analysis.pii_scan(docs).collect()}
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (2, 1, 1)
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (0, 0, 0)
+    redacted = "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE> end"
+    assert got[0].redacted_hash == hashlib.md5(redacted.encode()).hexdigest()
+    assert got[1].redacted_hash == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_with_synthetic_pii_deterministic(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [6, 7, 14], "text": ["x", "y", "z"]})
+    )
+    got = {r.doc_id: r.text for r in text_analysis.with_synthetic_pii(docs).collect()}
+    assert got[6] == "x"  # untouched
+    assert "@ex.com" in got[7] and "555-" in got[14]
+    scan = {r.doc_id: r for r in text_analysis.pii_scan(text_analysis.with_synthetic_pii(docs)).collect()}
+    assert (scan[7].n_emails, scan[7].n_ips, scan[7].n_phones) == (1, 1, 1)
+
+
+def test_decontaminate_zero_gram_doc(spark):
+    # a doc shorter than n tokens has 0 grams; frac is 0.0, not an ANSI
+    # divide-by-zero error (regression: ANSI raises on 0/0 even doubles)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta gamma", "x y"]})
+    )
+    got = {r.doc_id: r for r in text_analysis.decontaminate(docs, n=3).collect()}
+    assert got[1].n_grams == 0 and got[1].contamination_frac == 0.0
