@@ -26,6 +26,7 @@ from rtree_cpp_spark.operators import (
     dedup,
     events,
     multimodal,
+    packing,
     sampling,
     similarity,
     text_analysis,
@@ -195,6 +196,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             text_analysis.with_synthetic_pii(_docs(s, d))
         ),
         "sample_mixing": lambda s, d: sampling.stratified_sample(_docs(s, d)),
+        "text_chunks": lambda s, d: packing.chunk_documents(_docs(s, d)),
+        "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
         # --- multimodal plumbing ---
         "multimodal_meta": lambda s, d: multimodal.media_meta(_docs(s, d)),
         "multimodal_features": lambda s, d: multimodal.extract_features(
@@ -255,6 +258,19 @@ def _joined(fine: dict, names: list[str], key: str = "doc_id") -> Callable[[Spar
     return run
 
 
+def _multimodal_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate row for the three same-keyed multimodal per-doc maps:
+    (kind, n_bytes) from media_meta, checksum from extract_features,
+    resized_bytes from resize_media — each operator's distinctive
+    output column is still value-gated; the shared (kind, n_bytes)
+    columns come from meta alone to keep the join unambiguous."""
+    f = bench_queries()
+    meta = f["multimodal_meta"](spark, sf_dir)
+    feats = f["multimodal_features"](spark, sf_dir).select("doc_id", "checksum")
+    resized = f["multimodal_resize"](spark, sf_dir).select("doc_id", "resized_bytes")
+    return meta.join(feats, "doc_id").join(resized, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f = bench_queries()
     gate: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -270,6 +286,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f, ["text_token_stats", "text_lang_id", "text_quality", "text_bpe_tokens"]
         ),
         "text_hashes": _joined(f, ["text_fingerprint", "text_rolling_hash"]),
+        "text_chunks": f["text_chunks"],
+        "pack_sequences": f["pack_sequences"],
+        # meta/features/resize are same-keyed per-doc maps: one joined
+        # gate row (kind+n_bytes from meta, checksum and resized_bytes
+        # projected from the other two — each operator's distinctive
+        # output is still value-gated)
+        "multimodal_doc_stats": _multimodal_doc_stats,
         "ann_ivf_train": f["ann_ivf_train"],
         "tiles_zonal_stats": f["tiles_zonal_stats"],
         "stream_sessionize": f["stream_sessionize"],
@@ -312,10 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": f["ann_ivf_topk"],
         "ann_ivf_trained_topk": f["ann_ivf_trained_topk"],
         "dedup_embedding": f["dedup_embedding"],
-        "multimodal_meta": f["multimodal_meta"],
-        "multimodal_features": f["multimodal_features"],
         "multimodal_decode": f["multimodal_decode"],
-        "multimodal_resize": f["multimodal_resize"],
         "multimodal_frame_meta": f["multimodal_frame_meta"],
         "events_hourly": f["events_hourly"],
         "events_asof": f["events_asof"],
@@ -1119,20 +1139,49 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": decontaminate_sql,
         "text_pii_scan": pii_scan_sql,
         "sample_mixing": sample_mixing_sql,
-        "multimodal_meta": (
-            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
-            "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents"
-        ),
-        # checksum = sum(utf-8 payload bytes) mod 2^31 (the mapInPandas
-        # kernel's pure-integer arithmetic).  The synthetic corpus is
-        # ASCII, so per-char ascii() == per-byte value.
-        "multimodal_features": (
+        # joined gate row for the three same-keyed per-doc multimodal
+        # maps (meta kind/n_bytes + features checksum + resize
+        # resized_bytes).  checksum = sum(utf-8 payload bytes) mod 2^31
+        # (the mapInPandas kernel's pure-integer arithmetic); the
+        # synthetic corpus is ASCII, so per-char ascii() == per-byte.
+        "multimodal_doc_stats": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
             "ELSE 'video' END AS kind, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
             "list_reduce(list_prepend(CAST(0 AS BIGINT), "
             "list_transform(generate_series(1, length(text)), "
             "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
-            "(acc, c) -> acc + c) % 2147483648 AS checksum FROM documents"
+            "(acc, c) -> acc + c) % 2147483648 AS checksum, "
+            "CAST(CAST(FLOOR((octet_length(encode(text)) + 3) / 4.0) AS BIGINT) AS INT) "
+            "AS resized_bytes FROM documents"
+        ),
+        # operators/packing.py chunk_documents(chunk=32, overlap=8):
+        # window starts advance by step=24; chunk_idx = start/step
+        "text_chunks": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS st FROM t) "
+            "SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx, "
+            "CAST(len(list_slice(toks, CAST(st + 1 AS INT), CAST(st + 32 AS INT))) AS INT) "
+            "AS n_chunk_tokens, "
+            "md5(array_to_string(list_slice(toks, CAST(st + 1 AS INT), CAST(st + 32 AS INT)), ' ')) "
+            "AS chunk_hash FROM s"
+        ),
+        # operators/packing.py pack_sequences(capacity=256, n_shards=8):
+        # the greedy first-fit fold replayed as a recursive CTE — one
+        # row per shard per iteration, depth = max shard size
+        "pack_sequences": (
+            "WITH RECURSIVE base AS (SELECT doc_id, "
+            + _H64_DUCK.format(s="CAST(doc_id AS VARCHAR)")
+            + " AS h, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents), "
+            "sh AS (SELECT doc_id, h, n_tokens, CAST(h % 8 AS INT) AS shard, "
+            "ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn FROM base), "
+            "p AS (SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, "
+            "CAST(n_tokens AS BIGINT) AS fill FROM sh WHERE rn = 1 "
+            "UNION ALL SELECT b.shard, b.rn, b.doc_id, b.n_tokens, "
+            "CASE WHEN p.fill + b.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END, "
+            "CASE WHEN p.fill + b.n_tokens > 256 THEN CAST(b.n_tokens AS BIGINT) "
+            "ELSE p.fill + b.n_tokens END "
+            "FROM p JOIN sh b ON b.shard = p.shard AND b.rn = p.rn + 1) "
+            "SELECT doc_id, shard, bin, n_tokens FROM p"
         ),
         # Closed-form twin of the REAL decoder (WAV chunk walk / BMP row
         # padding / VID0): every decoded header field and content sum is
@@ -1160,13 +1209,6 @@ def oracle_sql() -> dict[str, str]:
             "j -> (doc_id + j) % 256)), (a, b) -> a + b) AS content_sum "
             "FROM documents WHERE doc_id % 3 = 2) "
             "SELECT * FROM aud UNION ALL SELECT * FROM img UNION ALL SELECT * FROM vid"
-        ),
-        "multimodal_resize": (
-            "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "
-            "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
-            "octet_length(encode(text)) AS n FROM documents) "
-            "SELECT doc_id, kind, CAST(n AS INT) AS n_bytes, "
-            "CAST(CAST(FLOOR((n + 3) / 4.0) AS BIGINT) AS INT) AS resized_bytes FROM m"
         ),
         "multimodal_frame_meta": (
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "

@@ -92,6 +92,8 @@ def main() -> None:
         "text_decontaminate",
         "text_pii_scan",
         "sample_mixing",
+        "text_chunks",
+        "pack_sequences",
         "multimodal_frame_meta",
         "events_hourly",
         "events_sessionize",
