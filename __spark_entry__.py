@@ -33,7 +33,12 @@ from rtree_cpp_spark.operators import (
 )
 from rtree_cpp_spark.operators.knn import idw_interpolate, knn, knn_join, knn_kernel
 from rtree_cpp_spark.operators.pip_join import pip_join
-from rtree_cpp_spark.operators.range_query import contains_query, range_count, range_query
+from rtree_cpp_spark.operators.range_query import (
+    anti_range_query,
+    contains_query,
+    range_count,
+    range_query,
+)
 from rtree_cpp_spark.operators.spatial_join import distance_join, spatial_join, spatial_join_salted
 from rtree_cpp_spark.operators.tiles import (
     cover_tiles,
@@ -137,6 +142,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_contains": lambda s, d: contains_query(
             rects.rects_a(s, d), rects.queries_range(s, d), GRID
         ),
+        "spatial_antijoin": lambda s, d: anti_range_query(
+            rects.rects_a(s, d), rects.queries_range(s, d)
+        ),
         "spatial_idw": lambda s, d: idw_interpolate(
             rects.rects_a(s, d), rects.queries_knn(s, d), rects.rect_values(s, d), GRID, k=8
         ),
@@ -196,6 +204,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             text_analysis.with_synthetic_pii(_docs(s, d))
         ),
         "sample_mixing": lambda s, d: sampling.stratified_sample(_docs(s, d)),
+        "text_vocab": lambda s, d: text_analysis.vocab_stats(_docs(s, d)),
+        "text_tfidf": lambda s, d: text_analysis.tfidf_topk(_docs(s, d)),
+        "emb_quantize": lambda s, d: similarity.quantize_embeddings(_embeddings(s, d)),
         "text_chunks": lambda s, d: packing.chunk_documents(_docs(s, d)),
         "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
         # --- multimodal plumbing ---
@@ -288,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashes": _joined(f, ["text_fingerprint", "text_rolling_hash"]),
         "text_chunks": f["text_chunks"],
         "pack_sequences": f["pack_sequences"],
+        "text_vocab": f["text_vocab"],
+        "text_tfidf": f["text_tfidf"],
+        "emb_quantize": f["emb_quantize"],
+        "spatial_antijoin": f["spatial_antijoin"],
         # meta/features/resize are same-keyed per-doc maps: one joined
         # gate row (kind+n_bytes from meta, checksum and resized_bytes
         # projected from the other two — each operator's distinctive
@@ -308,13 +323,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": _merged(f, "spatial_join", "spatial_join_salted", "variant", "plain", "salted"),
         "spatial_pip": _merged(f, "spatial_pip", "spatial_pip_strict", "mode", "closed", "open"),
         "tiles_assign": _merged(f, "tiles_primary", "tiles_cover", "variant", "primary", "cover"),
-        # absorbs ann_lsh_buckets (the 4-plane bucket table is computed
-        # inside lsh_topk; the 8-plane variant keeps its pytest)
-        "ann_lsh_topk": f["ann_lsh_topk"],
         # --- long-stable rows ---
-        "spatial_range": f["spatial_range"],
+        # (ann_lsh_topk folded into "ann_topk" below; it still absorbs
+        # ann_lsh_buckets — the 4-plane bucket table is computed inside
+        # lsh_topk, and the 8-plane variant keeps its pytest)
+        # range + containment share the (query_id, doc_id) shape: one
+        # tagged union row value-gates both predicates
+        "spatial_range": _merged(
+            f, "spatial_range", "spatial_contains", "predicate", "intersects", "contains"
+        ),
         "spatial_range_count": f["spatial_range_count"],
-        "spatial_contains": f["spatial_contains"],
         "spatial_idw": f["spatial_idw"],
         "layout_occupancy": f["layout_occupancy"],
         "interleaved_extract": f["interleaved_extract"],
@@ -325,15 +343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance_join": f["spatial_distance_join"],
         "dedup_exact": f["dedup_exact"],
         "dedup_minhash_lsh": f["dedup_minhash_lsh"],
-        "dedup_simhash": f["dedup_simhash"],
         "dedup_jaccard": f["dedup_jaccard"],
-        "dedup_components": f["dedup_components"],
+        # simhash signatures and duplicate-component labels are both
+        # per-doc maps: one joined row value-gates both
+        "dedup_doc_labels": _joined(f, ["dedup_simhash", "dedup_components"]),
         "dedup_simhash_pairs": f["dedup_simhash_pairs"],
         "pipeline_curation": f["pipeline_curation"],
-        "ann_cosine_topk": f["ann_cosine_topk"],
+        # the four top-k rankers share (query_vec_id, neighbor_vec_id,
+        # cos_sim, rank): two tagged-union rows value-gate all four
+        "ann_topk": _merged(f, "ann_cosine_topk", "ann_lsh_topk", "variant", "brute", "lsh"),
         "ann_ivf_assign": f["ann_ivf_assign"],
-        "ann_ivf_topk": f["ann_ivf_topk"],
-        "ann_ivf_trained_topk": f["ann_ivf_trained_topk"],
+        "ann_ivf_topk": _merged(
+            f, "ann_ivf_topk", "ann_ivf_trained_topk", "variant", "fixed", "trained"
+        ),
         "dedup_embedding": f["dedup_embedding"],
         "multimodal_decode": f["multimodal_decode"],
         "multimodal_frame_meta": f["multimodal_frame_meta"],
@@ -972,6 +994,12 @@ def oracle_sql() -> dict[str, str]:
         f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
         f"SELECT q.query_id, a.doc_id FROM q JOIN a ON {qa_join}"
     )
+    contains_sql = (
+        f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
+        "SELECT q.query_id, a.doc_id FROM q JOIN a "
+        "ON q.max_x >= a.max_x AND q.min_x <= a.min_x "
+        "AND q.max_y >= a.max_y AND q.min_y <= a.min_y"
+    )
     pip_sql_tpl = (
         f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}) "
         "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
@@ -997,7 +1025,9 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT cx * {GRID.n} + cy AS cell, doc_id FROM gxy"
     )
     return {
-        "spatial_range": range_sql,
+        "spatial_range": _tag2(
+            range_sql, "intersects", contains_sql, "contains", tagcol="predicate"
+        ),
         # the layout path must be value-invisible: write_layout + MBR
         # partition pruning + range query == the plain range oracle
         "layout_range_query": range_sql,
@@ -1023,11 +1053,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS INT) AS n_neighbors FROM j GROUP BY query_id) "
             "SELECT query_id, num / den AS idw_value, n_neighbors FROM per"
         ),
-        "spatial_contains": (
+        "spatial_antijoin": (
             f"WITH a AS ({RECTS_A_SQL}), q AS ({QUERIES_RANGE_SQL}) "
-            "SELECT q.query_id, a.doc_id FROM q JOIN a "
-            "ON q.max_x >= a.max_x AND q.min_x <= a.min_x "
-            "AND q.max_y >= a.max_y AND q.min_y <= a.min_y"
+            "SELECT a.doc_id FROM a WHERE NOT EXISTS "
+            f"(SELECT 1 FROM q WHERE {qa_join})"
         ),
         "spatial_pip": _tag2(
             pip_sql_tpl.format(gt=">=", lt="<="), "closed",
@@ -1121,17 +1150,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "dedup_minhash_lsh": minhash_sql,
-        "dedup_components": components_sql,
+        "dedup_doc_labels": (
+            f"SELECT a.doc_id, a.simhash, b.component_id FROM ({simhash_sql}) a "
+            f"JOIN ({components_sql}) b USING (doc_id)"
+        ),
         "pipeline_curation": pipeline_sql,
-        "dedup_simhash": simhash_sql,
         "dedup_simhash_pairs": simhash_pairs_sql,
         "dedup_jaccard": jaccard_sql,
-        "ann_cosine_topk": cosine_sql,
-        "ann_lsh_topk": lsh_topk_sql,
+        "ann_topk": _tag2(cosine_sql, "brute", lsh_topk_sql, "lsh"),
         "ann_ivf_assign": ivf_assign_sql,
-        "ann_ivf_topk": ivf_topk_sql,
+        "ann_ivf_topk": _tag2(ivf_topk_sql, "fixed", ivf_trained_topk_sql, "trained"),
         "ann_ivf_train": ivf_train_gate_sql,
-        "ann_ivf_trained_topk": ivf_trained_topk_sql,
         "dedup_embedding": neardup_sql,
         "text_stats": text_stats_sql,
         "text_hashes": text_hashes_sql,
@@ -1139,6 +1168,42 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": decontaminate_sql,
         "text_pii_scan": pii_scan_sql,
         "sample_mixing": sample_mixing_sql,
+        # operators/text_analysis.py vocab_stats
+        "text_vocab": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) SELECT token, COUNT(*) AS coll_freq, "
+            "COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token"
+        ),
+        # operators/text_analysis.py tfidf_topk(k=5): idf rounded to 6dp
+        # BEFORE the tf product so both engines rank identical doubles
+        "text_tfidf": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token), "
+            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "ROUND(tf.tf * ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE) "
+            "/ CAST(df.df + 1 AS DOUBLE)), 6), 6) AS tfidf "
+            "FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, token) AS INT) AS rnk FROM s) "
+            "SELECT doc_id, token, tf, tfidf, rnk FROM r WHERE rnk <= 5"
+        ),
+        # operators/similarity.py quantize_embeddings: float32→double
+        # casts are exact and every op is a single IEEE step, so q and
+        # scale are bit-identical with NO rounding; half-up is spelled
+        # floor(x + 0.5) in both engines (never engine round())
+        "emb_quantize": (
+            "WITH s AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0e0 "
+            "AS scale FROM embeddings), "
+            "e AS (SELECT vec_id, scale, embedding, "
+            "unnest(generate_series(1, len(embedding))) AS i FROM s) "
+            "SELECT vec_id, CAST(i - 1 AS INT) AS pos, "
+            "CAST(CASE WHEN scale > 0 THEN FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) "
+            "/ scale + 0.5e0) ELSE 0 END AS INT) AS q, scale FROM e"
+        ),
         # joined gate row for the three same-keyed per-doc multimodal
         # maps (meta kind/n_bytes + features checksum + resize
         # resized_bytes).  checksum = sum(utf-8 payload bytes) mod 2^31

@@ -94,6 +94,10 @@ def main() -> None:
         "sample_mixing",
         "text_chunks",
         "pack_sequences",
+        "text_vocab",
+        "text_tfidf",
+        "emb_quantize",
+        "spatial_antijoin",
         "multimodal_frame_meta",
         "events_hourly",
         "events_sessionize",

@@ -143,3 +143,24 @@ def range_count(data_rects: DataFrame, queries: DataFrame, grid: Grid) -> DataFr
         .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hits")), "query_id", "left")
         .select("query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
     )
+
+
+def anti_range_query(data_rects: DataFrame, queries: DataFrame) -> DataFrame:
+    """(doc_id): documents whose rectangle intersects NONE of the query
+    rectangles — the complement of ``range_query`` over the same
+    batched-query contract (coverage-gap audits, out-of-scope
+    carve-outs for region-restricted corpora).
+
+    Plan: ONE BroadcastNestedLoopJoin(left_anti) against the tiny query
+    batch — |Q| closed-interval predicate evaluations per doc, all in
+    codegen, zero shuffle.  The positive query uses the cell cover to
+    SKIP non-matching docs; the anti query must consider every doc by
+    definition, so the full scan is irreducible and the broadcast NLJ
+    is the optimal plan, not a fallback."""
+    cond = (
+        (queries["max_x"] >= data_rects["min_x"])
+        & (queries["min_x"] <= data_rects["max_x"])
+        & (queries["max_y"] >= data_rects["min_y"])
+        & (queries["min_y"] <= data_rects["max_y"])
+    )
+    return data_rects.join(F.broadcast(queries), cond, "left_anti").select("doc_id")

@@ -366,3 +366,33 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5, n_planes: i
         .where(F.col("rank") <= k)
         .select("query_vec_id", "neighbor_vec_id", "cos_sim", "rank")
     )
+
+
+def quantize_embeddings(embs: DataFrame) -> DataFrame:
+    """(vec_id, pos, q, scale): symmetric int8 scalar quantization of
+    each embedding — the storage/serving compression step of a vector
+    pipeline (q = round(v / scale) with scale = max|v| / 127, so
+    q in [-127, 127]; dequant is q * scale).
+
+    Exactness contract: float32 → double casts are exact, max|v| is
+    order-independent, and scale/quotient are single IEEE divisions, so
+    q and scale are bit-identical to the DuckDB oracle with NO rounding
+    anywhere.  Rounding mode is floor(x + 0.5) (half-up) spelled out
+    explicitly — never the engine's round(), whose half-even/half-away
+    choice differs across engines.
+
+    Scale shape: zero shuffle — per-vector codegen expressions plus a
+    posexplode; rows out = vectors x dims (the gate's driver-hashable
+    long form; production would keep ``array<tinyint>``)."""
+    maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    t = embs.select("vec_id", "embedding", (maxabs / F.lit(127.0)).alias("scale"))
+    e = t.select("vec_id", "scale", F.posexplode("embedding").alias("pos", "v"))
+    q = (
+        F.when(
+            F.col("scale") > 0,
+            F.floor(F.col("v").cast("double") / F.col("scale") + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return e.select("vec_id", F.col("pos").cast("int").alias("pos"), q.alias("q"), "scale")

@@ -314,3 +314,55 @@ def pii_scan(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0)).alias("n_phones"),
         F.md5(F.encode(redacted, "utf-8")).alias("redacted_hash"),
     )
+
+
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    """(token, coll_freq, doc_freq): global term statistics — the
+    vocabulary-building pass of a tokenizer/IDF pipeline (collection
+    frequency = total occurrences, document frequency = docs containing
+    the term).
+
+    Scale shape: ONE explode + ONE groupBy(token).  ``coll_freq`` gets
+    map-side partials for free; exact ``doc_freq`` (count-distinct)
+    adds the standard distinct-expand pass.  At corpus scale where the
+    stopword head is hot, the drop-in is ``approx_count_distinct``
+    (HLL, single-pass partials) — kept exact here because the gate
+    verifies values bit-for-bit."""
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("coll_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, token, tf, tfidf, rnk): the ``k`` highest-tf-idf terms
+    per document — keyword extraction / topic signal for curation and
+    retrieval indexing.  idf = ln((N+1)/(df+1)) (smoothed), rounded to
+    6 dp BEFORE the tf product so both engines rank identical values;
+    ties break on token text, so top-k is fully deterministic.
+
+    Scale shape: tf is ONE groupBy(doc_id, token); df is a distinct +
+    ONE groupBy(token) whose output (the vocabulary) broadcasts; the
+    corpus count N broadcasts as one row.  The per-doc top-k is a
+    window over the doc_id shuffle — ``WindowGroupLimit`` keeps only k
+    rows per doc at the partial stage, so the shuffle carries O(k x
+    docs), not every (doc, token) pair."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")), 6
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).where(
+        F.col("rnk") <= k
+    )

@@ -355,3 +355,19 @@ def test_knn_join_sharded_invariant(spark, rects_a_df, rects_b_df):
         assert sharded == base
     with pytest.raises(ValueError):
         knn_join_sharded(a, rects_b_df, grid, k=3, n_shards=0)
+
+
+def test_anti_range_query_complements_range_query(spark):
+    """antijoin(A, Q) is exactly A minus the docs range_query returns."""
+    from rtree_cpp_spark.operators.range_query import anti_range_query, range_query
+    from rtree_cpp_spark.functions.cells import Grid
+    from rtree_cpp_spark.sources import rects
+
+    sf = "/root/testdata/sf0.001"
+    a = rects.rects_a(spark, sf)
+    q = rects.queries_range(spark, sf)
+    hit = {r.doc_id for r in range_query(a, q, Grid(6)).select("doc_id").distinct().collect()}
+    anti = {r.doc_id for r in anti_range_query(a, q).collect()}
+    all_ids = {r.doc_id for r in a.select("doc_id").collect()}
+    assert anti == all_ids - hit
+    assert anti and hit  # both sides non-trivial at this SF

@@ -442,3 +442,67 @@ def test_decontaminate_zero_gram_doc(spark):
     )
     got = {r.doc_id: r for r in text_analysis.decontaminate(docs, n=3).collect()}
     assert got[1].n_grams == 0 and got[1].contamination_frac == 0.0
+
+
+def test_vocab_stats_counts(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a", "b c", "c c c"]})
+    )
+    got = {r.token: (r.coll_freq, r.doc_freq) for r in text_analysis.vocab_stats(docs).collect()}
+    assert got == {"a": (2, 1), "b": (2, 2), "c": (4, 2)}
+
+
+def test_tfidf_topk_ranks_rare_terms_higher(spark):
+    # "rare" appears once in one doc; "common" in every doc -> idf(common)
+    # is ln(4/4)=0 so rare must outrank it wherever both occur
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["common rare common", "common x", "common y"],
+            }
+        )
+    )
+    rows = text_analysis.tfidf_topk(docs, k=2).collect()
+    top1 = {r.doc_id: r.token for r in rows if r.rnk == 1}
+    assert top1[1] == "rare"
+    d1 = {r.token: r for r in rows if r.doc_id == 1}
+    assert d1["rare"].tfidf > d1["common"].tfidf
+    assert d1["common"].tfidf == 0.0  # ln((3+1)/(3+1)) = 0
+    # rnk dense from 1, at most k rows per doc
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2 for v in per_doc.values())
+
+
+def test_quantize_embeddings_roundtrip_and_bounds(spark):
+    from rtree_cpp_spark.operators import similarity
+
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [
+                    [0.5, -1.0, 0.25, 0.0],   # maxabs 1.0 -> scale 1/127
+                    [0.0, 0.0, 0.0, 0.0],     # zero vector -> q all 0
+                    [2.0, -2.0, 1.0, -0.5],
+                ],
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.quantize_embeddings(embs).collect()
+    assert len(rows) == 12
+    by = {(r.vec_id, r.pos): r for r in rows}
+    assert all(-127 <= r.q <= 127 for r in rows)
+    # extremes hit exactly +/-127
+    assert by[(0, 1)].q == -127 and by[(2, 0)].q == 127 and by[(2, 1)].q == -127
+    # zero vector: scale 0, q 0 (no ANSI divide-by-zero)
+    assert all(by[(1, p)].q == 0 and by[(1, p)].scale == 0.0 for p in range(4))
+    # dequant error bounded by scale/2 (half-up rounding)
+    import math
+    for r in rows:
+        if r.scale > 0:
+            orig = {0: [0.5, -1.0, 0.25, 0.0], 2: [2.0, -2.0, 1.0, -0.5]}[r.vec_id][r.pos]
+            assert math.isclose(r.q * r.scale, orig, abs_tol=r.scale / 2 + 1e-12)
