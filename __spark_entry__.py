@@ -228,6 +228,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": lambda s, d: events.asof_join(_events(s, d)),
         "events_sessionize": lambda s, d: events.sessionize(_events(s, d)),
         "events_funnel": lambda s, d: events.funnel(_events(s, d)),
+        "events_transitions": lambda s, d: events.transitions(_events(s, d)),
         # --- general agg health check (TPC-H Q1 shape) ---
         "agg_pricing_summary": lambda s, d: _pricing_summary(_lineitem(s, d)),
         "agg_top_orders": _top_orders,
@@ -269,6 +270,22 @@ def _joined(fine: dict, names: list[str], key: str = "doc_id") -> Callable[[Spar
     return run
 
 
+def _tagged_union(
+    fine: dict, members: list[tuple[str, str]], tagcol: str = "variant"
+) -> Callable[[SparkSession, str], DataFrame]:
+    """N-way ``_merged``: every member variant tagged with a literal and
+    unioned into one gate row (schemas must already agree)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for name, tag in members:
+            df = fine[name](spark, sf_dir).select(F.lit(tag).alias(tagcol), "*")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    return run
+
+
 def _multimodal_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One gate row for the three same-keyed multimodal per-doc maps:
     (kind, n_bytes) from media_meta, checksum from extract_features,
@@ -303,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": f["text_tfidf"],
         "emb_quantize": f["emb_quantize"],
         "spatial_antijoin": f["spatial_antijoin"],
+        "events_transitions": f["events_transitions"],
         # meta/features/resize are same-keyed per-doc maps: one joined
         # gate row (kind+n_bytes from meta, checksum and resized_bytes
         # projected from the other two — each operator's distinctive
@@ -350,12 +368,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": f["dedup_simhash_pairs"],
         "pipeline_curation": f["pipeline_curation"],
         # the four top-k rankers share (query_vec_id, neighbor_vec_id,
-        # cos_sim, rank): two tagged-union rows value-gate all four
-        "ann_topk": _merged(f, "ann_cosine_topk", "ann_lsh_topk", "variant", "brute", "lsh"),
-        "ann_ivf_assign": f["ann_ivf_assign"],
-        "ann_ivf_topk": _merged(
-            f, "ann_ivf_topk", "ann_ivf_trained_topk", "variant", "fixed", "trained"
+        # cos_sim, rank): ONE tagged-union row value-gates all four
+        "ann_topk": _tagged_union(
+            f,
+            [
+                ("ann_cosine_topk", "brute"),
+                ("ann_lsh_topk", "lsh"),
+                ("ann_ivf_topk", "ivf_fixed"),
+                ("ann_ivf_trained_topk", "ivf_trained"),
+            ],
         ),
+        "ann_ivf_assign": f["ann_ivf_assign"],
         "dedup_embedding": f["dedup_embedding"],
         "multimodal_decode": f["multimodal_decode"],
         "multimodal_frame_meta": f["multimodal_frame_meta"],
@@ -608,6 +631,15 @@ def _tag2(sql_a: str, tag_a: str, sql_b: str, tag_b: str, tagcol: str = "variant
     return (
         f"SELECT '{tag_a}' AS {tagcol}, * FROM ({sql_a}) ta "
         f"UNION ALL SELECT '{tag_b}' AS {tagcol}, * FROM ({sql_b}) tb"
+    )
+
+
+def _tagn(pairs: list[tuple[str, str]], tagcol: str = "variant") -> str:
+    """Oracle twin of ``_tagged_union``: every (sql, tag) member tagged
+    and unioned."""
+    return " UNION ALL ".join(
+        f"SELECT '{tag}' AS {tagcol}, * FROM ({sql}) t{i}"
+        for i, (sql, tag) in enumerate(pairs)
     )
 
 
@@ -1157,9 +1189,15 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curation": pipeline_sql,
         "dedup_simhash_pairs": simhash_pairs_sql,
         "dedup_jaccard": jaccard_sql,
-        "ann_topk": _tag2(cosine_sql, "brute", lsh_topk_sql, "lsh"),
+        "ann_topk": _tagn(
+            [
+                (cosine_sql, "brute"),
+                (lsh_topk_sql, "lsh"),
+                (ivf_topk_sql, "ivf_fixed"),
+                (ivf_trained_topk_sql, "ivf_trained"),
+            ]
+        ),
         "ann_ivf_assign": ivf_assign_sql,
-        "ann_ivf_topk": _tag2(ivf_topk_sql, "fixed", ivf_trained_topk_sql, "trained"),
         "ann_ivf_train": ivf_train_gate_sql,
         "dedup_embedding": neardup_sql,
         "text_stats": text_stats_sql,
@@ -1302,6 +1340,14 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": sessionize_sql,
         # the streaming engine must land on the BATCH sessionize spec
         "stream_sessionize": sessionize_sql,
+        # operators/events.py transitions: user-journey Markov edges
+        "events_transitions": (
+            "WITH t AS (SELECT event_type AS next_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_type FROM events) "
+            "SELECT prev_type, next_type, COUNT(*) AS n_transitions FROM t "
+            "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+        ),
         "events_funnel": (
             "WITH typed AS (SELECT user_id, event_type, ts FROM events "
             "WHERE event_type IN ('view', 'click', 'purchase')), "

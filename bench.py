@@ -102,6 +102,7 @@ def main() -> None:
         "events_hourly",
         "events_sessionize",
         "events_funnel",
+        "events_transitions",
         "agg_pricing_summary",
         "agg_top_orders",
     ]

@@ -146,3 +146,30 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     return counts.select(F.explode(per_step).alias("r")).select(
         "r.step", "r.step_name", "r.n_users"
     )
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n_transitions): the user-journey Markov
+    transition matrix — for each user's time-ordered event stream,
+    count every consecutive (previous event type → next event type)
+    pair across all users.  The row-normalized counts are the empirical
+    transition probabilities behavior-analytics funnels start from.
+
+    Determinism: ordering is (ts, event_id) — event_id breaks
+    identical-timestamp ties, so the lag pairs are engine-identical.
+
+    Scale shape: ONE shuffle (the per-user window; same partitioning
+    sessionize/funnel use, so a shared user_id repartition serves all
+    three in a combined pipeline), then a groupBy over the tiny
+    (types x types) key space — partial aggregation makes the second
+    shuffle carry O(types^2) rows per task, not O(events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        t.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )

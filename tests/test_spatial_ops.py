@@ -371,3 +371,22 @@ def test_anti_range_query_complements_range_query(spark):
     all_ids = {r.doc_id for r in a.select("doc_id").collect()}
     assert anti == all_ids - hit
     assert anti and hit  # both sides non-trivial at this SF
+
+
+def test_anti_range_query_plan_is_broadcast_nlj(spark):
+    """The anti join must be a BroadcastNestedLoopJoin LeftAnti (tiny
+    query batch broadcast; the data side never shuffles)."""
+    import contextlib
+    import io
+
+    from rtree_cpp_spark.operators.range_query import anti_range_query
+    from rtree_cpp_spark.sources import rects
+
+    sf = "/root/testdata/sf0.001"
+    df = anti_range_query(rects.rects_a(spark, sf), rects.queries_range(spark, sf))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # data side unshuffled

@@ -506,3 +506,39 @@ def test_quantize_embeddings_roundtrip_and_bounds(spark):
         if r.scale > 0:
             orig = {0: [0.5, -1.0, 0.25, 0.0], 2: [2.0, -2.0, 1.0, -0.5]}[r.vec_id][r.pos]
             assert math.isclose(r.q * r.scale, orig, abs_tol=r.scale / 2 + 1e-12)
+
+
+def test_tfidf_topk_plan_uses_window_group_limit(spark):
+    """The per-doc top-k must push a WindowGroupLimit below the window
+    shuffle so only k rows per doc are exchanged."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = text_analysis.tfidf_topk(docs, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_events_transitions_counts_and_order(spark):
+    from rtree_cpp_spark.operators import events as ev
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:00:01"] * 4
+            ),
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["a", "b", "a", "x", "y", "z"],
+        }
+    )
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in ev.transitions(spark.createDataFrame(pdf)).collect()
+    }
+    # user 1: a->b (tie ts broken by event_id), b->a; user 2: x->y;
+    # user 3: single event, no transition
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("x", "y"): 1}
