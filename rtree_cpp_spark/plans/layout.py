@@ -561,6 +561,16 @@ def write_bucketed_cover(
     reference's saved R-tree)."""
     from rtree_cpp_spark.operators.cover import with_cover_cells
 
+    spark = rects.sparkSession
+    # A killed session can leave the managed-table directory on disk
+    # while the fresh in-memory catalog has no such table — CREATE then
+    # fails with LOCATION_ALREADY_EXISTS.  Drop stale state on both
+    # sides (catalog entry AND orphaned warehouse dir) before writing.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    hadoop, fs = _fs(spark)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs.delete(hadoop.Path(f"{warehouse}/{table_name.lower()}"), True)
+
     sel = rects.select(
         F.col("doc_id").alias(f"{prefix}doc_id"),
         F.col("min_x").alias(f"{prefix}min_x"),
