@@ -585,3 +585,6 @@ def write_bucketed_cover(
         .sortBy("cell")
         .saveAsTable(table_name)
     )
+    # same-session re-writes: drop the cached file listing so readers
+    # resolved after this call never see the replaced files
+    spark.catalog.refreshTable(table_name)

@@ -275,6 +275,40 @@ def test_bucketed_spatial_join_exchange_free_and_identical(spark, rects_a_pdf, r
         spark.sql("DROP TABLE IF EXISTS bktc_b")
 
 
+def test_bucketed_write_recovers_orphaned_warehouse_dir(spark, rects_a_pdf):
+    """A killed session can leave the managed-table DIRECTORY on disk
+    while the fresh in-memory catalog has no such table; saveAsTable
+    then fails with LOCATION_ALREADY_EXISTS.  write_bucketed_cover must
+    clear the orphan and succeed with the correct contents."""
+    import os
+
+    from rtree_cpp_spark.plans.layout import write_bucketed_cover
+
+    grid = Grid(5)
+    a = spark.createDataFrame(rects_a_pdf)
+    name = "bktc_orphan_probe"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan = f"{warehouse}/{name}"
+    try:
+        # fabricate the crash leftover: dir on disk, no catalog entry
+        os.makedirs(orphan, exist_ok=True)
+        with open(f"{orphan}/stale-part.parquet", "w") as f:
+            f.write("not parquet")
+        assert not spark.catalog.tableExists(name)
+        write_bucketed_cover(a, name, grid, n_buckets=4, prefix="a_")
+        n = spark.table(name).count()
+        assert n > 0
+        # the stale file must be gone — only the fresh write remains
+        assert not os.path.exists(f"{orphan}/stale-part.parquet")
+        # idempotent: a second write over the LIVE table also succeeds,
+        # and a freshly-resolved reader sees the new files (the write
+        # refreshes the cached listing)
+        write_bucketed_cover(a, name, grid, n_buckets=4, prefix="a_")
+        assert spark.table(name).count() == n
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_bucketed_join_has_no_exchange(spark, rects_a_pdf, rects_b_pdf):
     """Cell-bucketed tables join with ZERO exchange — the write-once
     amortized shuffle that makes the layout 'the index' at scale."""
