@@ -19,9 +19,11 @@ Each level runs in its own subprocess (one JVM per master).  The input
 30% hot-cluster skew) is synthesized once to a shared parquet dir by a
 parallelism-independent generator, so both runs read identical bytes.
 
-Writes BENCH/SCALING_RUN.md (raw per-run report; the curated
-analysis with hardware controls lives in BENCH/BASELINE.md) and prints
-one JSON line.
+Writes BENCH/scaling_run_last.json by default; a headline run with
+SCALING_PUBLISH=1 additionally replaces the criterion artifacts
+(BENCH/scaling_latest.json — embedded by bench.py — and
+BENCH/SCALING_RUN.md).  The curated analysis with hardware controls
+lives in BENCH/BASELINE.md.  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -220,9 +222,21 @@ def main() -> None:
         "hi_walls": hi_walls,
     }
     print(json.dumps(summary))
-    # machine-readable result for bench.py to embed (never hardcoded there)
+    # scaling_latest.json is the CRITERION artifact bench.py embeds —
+    # only a full-size headline run may replace it (SCALING_PUBLISH=1);
+    # probes and re-validations at other workloads get their own file,
+    # so a small exploratory run can never silently degrade the
+    # published efficiency number.
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "scaling_latest.json").write_text(json.dumps(summary, indent=1))
+    publish = os.environ.get("SCALING_PUBLISH") == "1"
+    out_name = "scaling_latest.json" if publish else "scaling_run_last.json"
+    (REPO / "BENCH" / out_name).write_text(json.dumps(summary, indent=1))
+    if not publish:
+        print(
+            "note: wrote BENCH/scaling_run_last.json (set SCALING_PUBLISH=1 "
+            "to replace the criterion artifact scaling_latest.json)"
+        )
+        return
 
     md = f"""# BENCH/BASELINE.md — measured sandbox numbers
 
