@@ -200,7 +200,12 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97) -> DataFrame:
+def decontaminate(
+    docs: DataFrame,
+    n: int = 3,
+    bench_mod: int = 97,
+    broadcast_max_bench_docs: int = 50_000,
+) -> DataFrame:
     """(doc_id, n_grams, n_contaminated, contamination_frac): n-gram
     overlap of each training document against a benchmark/eval subset —
     the train-test decontamination pass every published LLM data
@@ -211,12 +216,23 @@ def decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97) -> DataFrame
     by default so the shared-vocabulary synthetic corpus produces
     overlap signal — production uses 8..13.
 
-    Scale shape: the benchmark's distinct-gram set is SMALL (eval sets
-    are thousands of docs, not billions) → broadcast hash join against
-    the exploded per-doc distinct grams; one groupBy(doc_id) count;
-    the final attach is a left join on doc_id so zero-overlap docs
-    keep a 0 row.  No shuffle touches the gram strings of the full
-    corpus beyond the explode itself."""
+    Scale shape: the benchmark's distinct-gram set is USUALLY small
+    (eval sets are thousands of docs, not billions) → broadcast hash
+    join against the exploded per-doc distinct grams; one
+    groupBy(doc_id) count; the final attach is a left join on doc_id
+    so zero-overlap docs keep a 0 row.  No shuffle touches the gram
+    strings of the full corpus beyond the explode itself.
+
+    The broadcast hint is SIZE-GATED, not forced: at production
+    n=8..13 grams over a 100k-doc eval set the distinct-gram set is
+    hundreds of millions of strings, and a forced ``F.broadcast``
+    bypasses Spark's size check and OOMs executors.  The gate is a
+    cheap doc-count probe (column-pruned scan of doc_id only — the
+    distinct-gram count would cost the whole subquery): at or below
+    ``broadcast_max_bench_docs`` benchmark docs the hint fires; above
+    it, no hint — AQE sees the real build-side size at runtime and
+    still broadcasts iff it fits (``autoBroadcastJoinThreshold``).
+    Both paths produce identical rows (pytest-asserted)."""
     toks = F.split(F.col("text"), " ")
     size = F.size(toks)
     grams = F.when(
@@ -236,8 +252,11 @@ def decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97) -> DataFrame
     )
     train = with_grams.where(F.col("doc_id") % bench_mod != 0)
     train_grams = train.select("doc_id", F.explode("grams").alias("gram"))
+    n_bench_docs = docs.where(F.col("doc_id") % bench_mod == 0).count()
+    if n_bench_docs <= broadcast_max_bench_docs:
+        bench = F.broadcast(bench)
     hits = (
-        train_grams.join(F.broadcast(bench), "gram")
+        train_grams.join(bench, "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
@@ -341,6 +360,17 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     retrieval indexing.  idf = ln((N+1)/(df+1)) (smoothed), rounded to
     6 dp BEFORE the tf product so both engines rank identical values;
     ties break on token text, so top-k is fully deterministic.
+
+    ACCEPTED CROSS-ENGINE RISK: the 6-dp round assumes JVM ``Math.log``
+    and DuckDB's ``std::log`` agree to within the rounding slack.
+    Neither libm is correctly rounded, so a 1-ulp ln() divergence
+    landing adjacent to a 0.5e-6 rounding boundary could flip a rank
+    tie nondeterministically.  The fully-exact alternative (a
+    driver-computed idf lookup per distinct df, embedded in the oracle
+    as a CASE table) was judged worse than the risk — df's domain at
+    gate scale makes a several-hundred-branch oracle.  Triage rule if
+    this gate row ever reds: compare idf values at FULL precision for
+    the mismatching (doc_id, token) rows first.
 
     Scale shape: tf is ONE groupBy(doc_id, token); df is a distinct +
     ONE groupBy(token) whose output (the vocabulary) broadcasts; the

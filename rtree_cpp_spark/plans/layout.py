@@ -307,7 +307,19 @@ def heal_layout(spark, path: str) -> list[int]:
     idempotent (completing the staged rewrite IS the op the crash
     interrupted).  Single writer per table assumed (concurrent
     maintenance needs a catalog — Iceberg's optimistic commit — not
-    plain parquet).  Returns healed cells."""
+    plain parquet).  Returns healed cells.
+
+    PROTOCOL-VERSION NOTE: the ``_EMPTIED`` marker is part of the swap
+    commit point.  A ``_SUCCESS``-only staging dir written by a
+    pre-marker build of this module CANNOT be healed by this code: the
+    emptied-partition set is unrecoverable without the marker, and
+    swapping in only the staged dirs would resurrect rows the change
+    deleted.  Tables carrying an in-flight swap from a pre-marker build
+    must be healed by that build before upgrading (complete or abandon
+    the swap, leaving no ``{path}__swap_staging`` dir).  This code
+    treats such a staging as a dead partial and drops it — safe for
+    every state the CURRENT writer can produce (it never touches live
+    dirs before writing the marker)."""
     hadoop, fs = _fs(spark)
     # interrupted RETILE swap: the committed rewrite wins over whatever
     # remains of the (possibly partially deleted) table

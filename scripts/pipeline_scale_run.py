@@ -80,16 +80,24 @@ def _checksum_cols(dtypes: list[tuple[str, str]]) -> list[str]:
 
 
 def spark_checksum(df, cols: list[str]) -> int:
-    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    # coalesce each cell to a \0 sentinel BEFORE concat_ws: concat_ws
+    # silently SKIPS nulls (both engines), so ('a', NULL) and (NULL, 'a')
+    # would otherwise hash identically and mask a real mismatch
+    joined = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
     h = F.conv(F.substring(F.md5(F.encode(joined, "utf-8")), 1, 15), 16, 10).cast("long")
-    return df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()[0][0]
+    out = df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()[0][0]
+    # bit_xor over zero rows is NULL: surface an empty result as checksum
+    # 0 (the row-count compare reports the mismatch), never a crash
+    return int(out) if out is not None else 0
 
 
 def duck_checksum(con, sql: str, cols: list[str]) -> tuple[int, int]:
-    j = ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    j = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in cols)
     h = _H64_DUCK.format(s=f"concat_ws('|', {j})")
     row = con.execute(
-        f"SELECT bit_xor({h}), COUNT(*) FROM ({sql}) t"
+        f"SELECT COALESCE(bit_xor({h}), 0), COUNT(*) FROM ({sql}) t"
     ).fetchone()
     return int(row[0]), int(row[1])
 

@@ -403,6 +403,24 @@ def test_decontaminate_overlap(spark):
     assert got[2].n_contaminated == 0 and got[2].contamination_frac == 0.0
 
 
+def test_decontaminate_broadcast_gate_paths_identical(spark):
+    # the broadcast hint is size-gated on the bench doc count: force
+    # BOTH paths (threshold above / below the probe) and assert the
+    # plans differ only in strategy, never in rows
+    texts = {i: f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} w{i} tail" for i in range(30)}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}),
+        schema="doc_id long, text string",
+    )
+    hinted = text_analysis.decontaminate(docs, n=3, bench_mod=7, broadcast_max_bench_docs=10**6)
+    unhinted = text_analysis.decontaminate(docs, n=3, bench_mod=7, broadcast_max_bench_docs=0)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    rows_h = sorted(map(tuple, hinted.collect()))
+    rows_u = sorted(map(tuple, unhinted.collect()))
+    assert rows_h == rows_u and len(rows_h) > 0
+
+
 def test_pii_scan_counts_and_redaction(spark):
     docs = spark.createDataFrame(
         pd.DataFrame(
