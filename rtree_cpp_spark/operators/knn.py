@@ -249,6 +249,123 @@ def knn_join_sharded(
     return out
 
 
+def knn_join_frontier(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    k: int,
+    initial_radius: int = 1,
+) -> DataFrame:
+    """kNN join with the query FRONTIER kept distributed — the 100 TB
+    path past both driver residency and the sequential shard loop.
+
+    :func:`knn` (and the per-shard loop of :func:`knn_join_sharded`)
+    holds the query batch in driver pandas, so wall grows linearly in
+    n_shards: shard i's disk-doubling rounds finish before shard i+1
+    starts, even on an idle cluster.  Here ALL queries advance through
+    the SAME O(log grid) rounds as one DataFrame:
+
+        round(ρ): open frontier explodes to its disk cells (JVM
+                  ``sequence``) → ONE join against the cover-exploded
+                  data → window top-k (materialized once per round via
+                  localCheckpoint) → per-query (count, k-th distance)
+                  aggregate joined back to the frontier;
+        stop(q):  the exact same rule as :func:`knn` — full-domain
+                  coverage OR (k found AND k-th sq_dist <= d_out²) —
+                  evaluated as COLUMNS, never on the driver.
+
+    The only driver-side value per round is the open-query count; the
+    arithmetic (float64 sq_dist, (sq_dist, doc_id) ties, d_out from the
+    gathered-square boundary with domain edges at +inf) is identical to
+    :func:`knn`, so results equal :func:`knn_join` row-for-row
+    (pytest-asserted).  Finished queries' top-k rows are checkpointed
+    per round (each small: <= k rows/query) and unioned at the end —
+    no round's candidate join is ever replayed."""
+    spark = a_rects.sparkSession
+    n, s = grid.n, grid.cell_size
+    d = with_cover_cells(b_rects, grid).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        frontier = (
+            a_rects.select(
+                F.col("doc_id").alias("query_id"),
+                ((F.col("min_x") + F.col("max_x")) / F.lit(2.0)).cast("double").alias("x"),
+                ((F.col("min_y") + F.col("max_y")) / F.lit(2.0)).cast("double").alias("y"),
+                F.lit(k).alias("k"),
+            )
+            .withColumn("qcx", grid.cx_col(F.col("x")))
+            .withColumn("qcy", grid.cx_col(F.col("y")))
+            .withColumn("rho", F.lit(initial_radius))
+            .localCheckpoint()
+        )
+        frontier_cols = ["query_id", "x", "y", "k", "qcx", "qcy", "rho"]
+        parts: list[DataFrame] = []
+        while frontier.count() > 0:
+            cand = d.join(_disk_cells_df(frontier, grid), "cell").dropDuplicates(
+                ["query_id", "doc_id"]
+            )
+            scored = cand.withColumn(
+                "sq_dist",
+                sq_dist_col(
+                    F.col("x"), F.col("y"),
+                    F.col("min_x").cast("double"), F.col("min_y").cast("double"),
+                    F.col("max_x").cast("double"), F.col("max_y").cast("double"),
+                ),
+            )
+            w = Window.partitionBy("query_id").orderBy("sq_dist", "doc_id")
+            # materialize the round's top-k ONCE: the stop-rule stats and
+            # the finished-query results both read this checkpoint
+            ranked = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= F.col("k"))
+                .select("query_id", "doc_id", "sq_dist", "rank")
+                .localCheckpoint()
+            )
+            stats = ranked.groupBy("query_id").agg(
+                F.count("*").alias("_cnt"), F.max("sq_dist").alias("_kth")
+            )
+            rho, qcx, qcy = F.col("rho"), F.col("qcx"), F.col("qcy")
+            full = (
+                (qcx - rho <= 0) & (qcx + rho >= n - 1)
+                & (qcy - rho <= 0) & (qcy + rho >= n - 1)
+            )
+            inf = F.lit(float("inf"))
+            d_out = F.least(
+                F.when(qcx - rho > 0, F.col("x") - (qcx - rho).cast("double") * s).otherwise(inf),
+                F.when(qcx + rho < n - 1, (qcx + rho + 1).cast("double") * s - F.col("x")).otherwise(inf),
+                F.when(qcy - rho > 0, F.col("y") - (qcy - rho).cast("double") * s).otherwise(inf),
+                F.when(qcy + rho < n - 1, (qcy + rho + 1).cast("double") * s - F.col("y")).otherwise(inf),
+            )
+            # coalesce: a query with NO stats row (empty disk) must land
+            # in exactly one branch — NULL done would drop it from both
+            done = F.coalesce(
+                full | ((F.col("_cnt") >= F.col("k")) & (F.col("_kth") <= d_out * d_out)),
+                F.lit(False),
+            )
+            fr = (
+                frontier.join(stats, "query_id", "left")
+                .withColumn("_done", done)
+                .localCheckpoint()
+            )
+            parts.append(
+                ranked.join(fr.where(F.col("_done")).select("query_id"), "query_id")
+                .localCheckpoint()
+            )
+            frontier = (
+                fr.where(~F.col("_done"))
+                .withColumn("rho", F.col("rho") * 2)
+                .select(*frontier_cols)
+                .localCheckpoint()
+            )
+        if not parts:
+            return spark.createDataFrame([], KNN_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        d.unpersist(blocking=False)
+
+
 def idw_interpolate(
     data_rects: DataFrame,
     queries: DataFrame,

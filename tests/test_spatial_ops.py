@@ -357,6 +357,29 @@ def test_knn_join_sharded_invariant(spark, rects_a_df, rects_b_df):
         knn_join_sharded(a, rects_b_df, grid, k=3, n_shards=0)
 
 
+def test_knn_join_frontier_matches_batched(spark, rects_a_df, rects_b_df):
+    # the distributed-frontier regime (no driver-resident query batch)
+    # must be row-for-row identical to the batched kernel — same
+    # float64 arithmetic, same (sq_dist, doc_id) ties, same stop rule
+    from rtree_cpp_spark.operators.knn import knn_join, knn_join_frontier
+
+    grid = Grid(6)
+    a = rects_a_df.limit(40)
+    base = sorted(map(tuple, knn_join(a, rects_b_df, grid, k=3).collect()))
+    got = sorted(map(tuple, knn_join_frontier(a, rects_b_df, grid, k=3).collect()))
+    assert got == base and len(got) > 0
+
+
+def test_knn_join_frontier_empty_a(spark, rects_a_df, rects_b_df):
+    # zero open queries: the round loop must not spin, result is empty
+    # with the canonical kNN schema
+    from rtree_cpp_spark.operators.knn import knn_join_frontier
+
+    got = knn_join_frontier(rects_a_df.limit(0), rects_b_df, Grid(6), k=3)
+    assert got.count() == 0
+    assert got.columns == ["query_id", "doc_id", "sq_dist", "rank"]
+
+
 def test_anti_range_query_complements_range_query(spark):
     """antijoin(A, Q) is exactly A minus the docs range_query returns."""
     from rtree_cpp_spark.operators.range_query import anti_range_query, range_query
