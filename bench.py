@@ -45,10 +45,30 @@ def build_session(cpus: int) -> SparkSession:
     )
 
 
+def _cpu_control() -> float:
+    """Single-thread deterministic burn (~0.3-0.6s nominal): wall time
+    of a fixed numpy workload, measured before the warmup and after the
+    timed passes.  The sandbox VM throttles in multi-minute phases
+    (BENCH/BASELINE.md); cross-round RATIOS of this control separate
+    "the machine was slow" from "a plan regressed" — r3's uniform -24%
+    drift across ~30 unchanged plans motivated recording it."""
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.float64) * 1e-6
+    for _ in range(5):  # untimed warm: first-call numpy/allocator setup
+        a = np.sqrt(a * a + 1.0) - 1.0
+    t0 = time.perf_counter()
+    for _ in range(60):
+        a = np.sqrt(a * a + 1.0) - 1.0  # bounded: stays in [0, ~1)
+    assert a is not None
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    control_pre = _cpu_control()
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -145,6 +165,7 @@ def main() -> None:
         "spark_version": spark.version,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "cpu_control_sec": {"pre": control_pre, "post": _cpu_control()},
     }
     # Two-parallelism-level evidence: embed the LATEST scaling_bench.py
     # measurement (never constants — they'd silently go stale).  Full
@@ -162,17 +183,44 @@ def main() -> None:
             "note": "measured by scripts/scaling_bench.py; see BENCH/BASELINE.md",
         }
 
-    line = json.dumps(out)
-    # newline first (detach from any earlier partial stderr/stdout mix),
-    # flush immediately, and keep a file copy the round can fall back to
-    sys.stdout.write("\n" + line + "\n")
-    sys.stdout.flush()
+    # Full detail (47 per-query timings + row counts) goes ONLY to
+    # BENCH/bench_last.json: the driver captures a bounded tail of
+    # stdout, and r01-r03 all lost the headline line to truncation
+    # because the full JSON (~4 KB) exceeded its window.
+    full_line = json.dumps(out)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "bench_last.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError:
         pass
+    # stdout gets ONE SHORT line (<1 KB): headline metric + the two
+    # queries composing it + scaling block.  Newline first (detach from
+    # any partial stderr/stdout mix), flush immediately.
+    short = {
+        "metric": "headline_suite_wall",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {
+            "spatial_join_salted": timings["spatial_join_salted"],
+            "tiles_cover": timings["tiles_cover"],
+        },
+        "sf": out["sf"],
+        "join_tiling_docs_per_sec": out["join_tiling_docs_per_sec"],
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "detail": "BENCH/bench_last.json",
+    }
+    if "scaling" in out:
+        short["scaling"] = {
+            "lo_cpus": out["scaling"]["lo_cpus"],
+            "hi_cpus": out["scaling"]["hi_cpus"],
+            "wall_efficiency": out["scaling"]["wall_efficiency"],
+        }
+    if "cpu_control_sec" in out:
+        short["cpu_control_sec"] = out["cpu_control_sec"]
+    sys.stdout.write("\n" + json.dumps(short) + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 
