@@ -123,6 +123,46 @@ def test_run_dedup_job_end_to_end(spark, tmp_path, monkeypatch):
     assert {r.doc_id: r.component_id for r in spark.read.parquet(out).collect()} == got
 
 
+def test_run_knn_join_job_frontier(spark, tmp_path, monkeypatch):
+    """run_knn_join wiring end-to-end (frontier regime): loaders, argv,
+    partitioned write + manifest — output rows equal the direct
+    operator's."""
+    import sys as _sys
+
+    import pyspark.sql as pysql
+
+    import jobs.run_knn_join as rkj
+    from rtree_cpp_spark.functions.cells import Grid
+    from rtree_cpp_spark.operators.knn import knn_join
+    from rtree_cpp_spark.sources.extract import rects_only
+    from rtree_cpp_spark.sources.synth import synth_docs_df_vec
+
+    monkeypatch.setattr(pysql.SparkSession, "stop", lambda self: None)
+    docs_a = synth_docs_df_vec(spark, "A", 30, seed=5)
+    docs_b = synth_docs_df_vec(spark, "B", 200, seed=9)
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    docs_a.write.parquet(src_a)
+    docs_b.write.parquet(src_b)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["run_knn_join.py", "--input-a", src_a, "--input-b", src_b,
+         "--k", "3", "--regime", "frontier", "--output", out, "--manifest", man],
+    )
+    rkj.main()
+    got = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("query_id", "doc_id", "sq_dist", "rank").collect())
+    )
+    want = sorted(
+        map(tuple, knn_join(
+            rects_only(spark.read.parquet(src_a)),
+            rects_only(spark.read.parquet(src_b)), Grid(6), k=3,
+        ).collect())
+    )
+    assert got == want and len(got) == 90
+
+
 def test_run_dedup_rejects_nonpositive_num_parts(monkeypatch):
     import sys as _sys
 
