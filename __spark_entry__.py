@@ -32,7 +32,12 @@ from rtree_cpp_spark.operators import (
     text_analysis,
 )
 from rtree_cpp_spark.operators.knn import idw_interpolate, knn, knn_join, knn_kernel
-from rtree_cpp_spark.operators.pip_join import pip_join
+from rtree_cpp_spark.operators.pip_join import (
+    octagons_from_rects,
+    pip_join,
+    polygon_join,
+    polygon_pip_join,
+)
 from rtree_cpp_spark.operators.range_query import (
     anti_range_query,
     contains_query,
@@ -44,6 +49,7 @@ from rtree_cpp_spark.operators.tiles import (
     cover_tiles,
     hot_cells,
     primary_tiles,
+    rasterize,
     tile_pyramid,
     tile_stats,
     zonal_stats,
@@ -177,12 +183,21 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "spatial_pip": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "closed"),
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
+        "spatial_pip_polygon": lambda s, d: polygon_pip_join(
+            _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID
+        ),
+        "spatial_join_octagon": lambda s, d: polygon_join(
+            octagons_from_rects(rects.rects_a(s, d)),
+            octagons_from_rects(rects.rects_b(s, d)),
+            GRID,
+        ),
         "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
         "interleaved_extract": _interleaved_extract,
         "interleaved_join_spans": _interleaved_join_spans,
         "tiles_primary": lambda s, d: primary_tiles(rects.rects_a(s, d), GRID),
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
+        "tiles_rasterize": lambda s, d: rasterize(rects.rects_a(s, d), GRID),
         "tiles_zonal_stats": lambda s, d: zonal_stats(rects.rects_a(s, d), _raster(s), GRID),
         "tiles_pyramid": lambda s, d: tile_pyramid(rects.rects_a(s, d), GRID),
         "tiles_hot_cells": lambda s, d: hot_cells(rects.rects_a(s, d), GRID, k=20),
@@ -383,9 +398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ("spatial_join", "plain"),
                 ("spatial_join_salted", "salted"),
                 ("spatial_join_bucketed", "bucketed"),
+                ("spatial_join_octagon", "octagon"),
             ],
         ),
-        "spatial_pip": _merged(f, "spatial_pip", "spatial_pip_strict", "mode", "closed", "open"),
+        "spatial_pip": _tagged_union(
+            f,
+            [("spatial_pip", "closed"), ("spatial_pip_strict", "open"),
+             ("spatial_pip_polygon", "polygon")],
+            tagcol="mode",
+        ),
         "tiles_assign": _merged(f, "tiles_primary", "tiles_cover", "variant", "primary", "cover"),
         # --- long-stable rows ---
         # (ann_lsh_topk folded into "ann_topk" below; it still absorbs
@@ -402,7 +423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_occupancy": f["layout_occupancy"],
         "interleaved_extract": f["interleaved_extract"],
         "interleaved_join_spans": f["interleaved_join_spans"],
-        "tile_stats": f["tile_stats"],
+        # tile_stats ⋈ rasterize on cell: both are per-cover-cell maps of
+        # the same rect set, so the key sets are identical and the join
+        # is row-count-preserving; the raster burn-in column is
+        # value-gated alongside the MBR stats in one row.
+        "tile_stats": _joined(f, ["tile_stats", "tiles_rasterize"], key="cell"),
         "tiles_pyramid": f["tiles_pyramid"],
         "tiles_hot_cells": f["tiles_hot_cells"],
         "spatial_distance_join": f["spatial_distance_join"],
@@ -652,6 +677,7 @@ def _pricing_summary(li: DataFrame) -> DataFrame:
 
 _CELL6 = GRID.cell_of_point_sql  # callable (x_sql, y_sql) -> cell sql
 _CX6 = GRID.cx_sql
+_GS = f"CAST({GRID.cell_size!r} AS DOUBLE)"  # grid cell size literal
 
 _COVER_CTE = (
     "gx AS (SELECT doc_id, min_y, max_y, "
@@ -1113,6 +1139,70 @@ def oracle_sql() -> dict[str, str]:
         "SELECT q.query_id AS point_id, r.doc_id FROM q JOIN r "
         "ON q.x {gt} r.min_x AND q.x {lt} r.max_x AND q.y {gt} r.min_y AND q.y {lt} r.max_y"
     )
+    # Octagon PIP oracle: vertex arithmetic and per-edge cross products
+    # are written with EXACTLY the expression shape of
+    # operators/pip_join.octagons_from_rects + polygon_pip_join — IEEE
+    # doubles make Spark and DuckDB bit-identical, so boundary-point
+    # membership cannot diverge between the engines.
+    def _oct_vv(t: str) -> list:
+        """CCW octagon vertex (x_sql, y_sql) pairs for table alias t —
+        the SQL twin of operators/pip_join.octagons_from_rects."""
+        return [
+            (f"{t}.xlo", f"{t}.min_y"), (f"{t}.xhi", f"{t}.min_y"),
+            (f"{t}.max_x", f"{t}.ylo"), (f"{t}.max_x", f"{t}.yhi"),
+            (f"{t}.xhi", f"{t}.max_y"), (f"{t}.xlo", f"{t}.max_y"),
+            (f"{t}.min_x", f"{t}.yhi"), (f"{t}.min_x", f"{t}.ylo"),
+        ]
+
+    _oct_verts = _oct_vv("o")
+    _oct_edges = " AND ".join(
+        f"(({xj}) - ({xi})) * (q.y - ({yi})) - (({yj}) - ({yi})) * (q.x - ({xi})) >= 0e0"
+        for (xi, yi), (xj, yj) in zip(_oct_verts, _oct_verts[1:] + _oct_verts[:1])
+    )
+    pip_polygon_sql = (
+        f"WITH r AS ({RECTS_A_SQL}), q AS ({QUERIES_KNN_SQL}), "
+        "o AS (SELECT doc_id, min_x, min_y, max_x, max_y, "
+        "min_x + 0.25e0 * (max_x - min_x) AS xlo, "
+        "max_x - 0.25e0 * (max_x - min_x) AS xhi, "
+        "min_y + 0.25e0 * (max_y - min_y) AS ylo, "
+        "max_y - 0.25e0 * (max_y - min_y) AS yhi FROM r) "
+        f"SELECT q.query_id AS point_id, o.doc_id FROM q JOIN o ON {_oct_edges}"
+    )
+
+    # Octagon-octagon SAT join oracle: per-edge × per-vertex cross
+    # products with the IDENTICAL IEEE expression shape as
+    # operators/pip_join.polygon_join (separated ⟺ some edge of either
+    # ring has ALL other-ring vertices strictly outside).
+    def _sep_sql(P: list, Q: list) -> str:
+        clauses = []
+        for i in range(len(P)):
+            xi, yi = P[i]
+            xj, yj = P[(i + 1) % len(P)]
+            terms = [
+                f"(({xj}) - ({xi})) * (({qy}) - ({yi})) "
+                f"- (({yj}) - ({yi})) * (({qx}) - ({xi})) < 0e0"
+                for (qx, qy) in Q
+            ]
+            clauses.append("(" + " AND ".join(terms) + ")")
+        return "(" + " OR ".join(clauses) + ")"
+
+    _oct_cols = (
+        "SELECT doc_id, min_x, min_y, max_x, max_y, "
+        "min_x + 0.25e0 * (max_x - min_x) AS xlo, "
+        "max_x - 0.25e0 * (max_x - min_x) AS xhi, "
+        "min_y + 0.25e0 * (max_y - min_y) AS ylo, "
+        "max_y - 0.25e0 * (max_y - min_y) AS yhi FROM {src}"
+    )
+    _va, _vb = _oct_vv("oa"), _oct_vv("ob")
+    octagon_join_sql = (
+        f"WITH ra AS ({RECTS_A_SQL}), rb AS ({RECTS_B_SQL}), "
+        f"oa AS ({_oct_cols.format(src='ra')}), "
+        f"ob AS ({_oct_cols.format(src='rb')}) "
+        "SELECT oa.doc_id AS a_doc_id, ob.doc_id AS b_doc_id FROM oa JOIN ob "
+        "ON oa.min_x <= ob.max_x AND ob.min_x <= oa.max_x "
+        "AND oa.min_y <= ob.max_y AND ob.min_y <= oa.max_y "
+        f"WHERE NOT {_sep_sql(_va, _vb)} AND NOT {_sep_sql(_vb, _va)}"
+    )
     sessionize_sql = (
         "WITH flagged AS (SELECT user_id, ts, event_id, "
         "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
@@ -1145,7 +1235,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, COALESCE(hits.c, 0) AS n_hits FROM q LEFT JOIN hits USING (query_id)"
         ),
         "spatial_join": _tagn(
-            [(join_sql, "plain"), (join_sql, "salted"), (join_sql, "bucketed")]
+            [(join_sql, "plain"), (join_sql, "salted"), (join_sql, "bucketed"),
+             (octagon_join_sql, "octagon")]
         ),
         "spatial_knn": _tag2(knn_sql, "window", knn_sql, "kernel"),
         "spatial_knn_join": _tagn(
@@ -1174,9 +1265,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id FROM a WHERE NOT EXISTS "
             f"(SELECT 1 FROM q WHERE {qa_join})"
         ),
-        "spatial_pip": _tag2(
-            pip_sql_tpl.format(gt=">=", lt="<="), "closed",
-            pip_sql_tpl.format(gt=">", lt="<"), "open",
+        "spatial_pip": _tagn(
+            [
+                (pip_sql_tpl.format(gt=">=", lt="<="), "closed"),
+                (pip_sql_tpl.format(gt=">", lt="<"), "open"),
+                (pip_polygon_sql, "polygon"),
+            ],
             tagcol="mode",
         ),
         "interleaved_extract": (
@@ -1201,12 +1295,24 @@ def oracle_sql() -> dict[str, str]:
             for lvl in (4, 5, 6)
         ),
         "tiles_assign": _tag2(tiles_primary_sql, "primary", tiles_cover_sql, "cover"),
+        # burn-in term: floor() of the IDENTICAL IEEE expression as
+        # operators/tiles.rasterize — bit-identical per term, then an
+        # integer-exact (order-independent) SUM
         "tile_stats": (
-            f"WITH r AS ({RECTS_A_SQL}), {_COVER_FULL_CTE} "
-            f"SELECT cx * {GRID.n} + cy AS cell, COUNT(*) AS n_docs, "
+            f"WITH r AS ({RECTS_A_SQL}), {_COVER_FULL_CTE}, "
+            f"ts AS (SELECT cx * {GRID.n} + cy AS cell, COUNT(*) AS n_docs, "
             "MIN(min_x) AS mbr_min_x, MIN(min_y) AS mbr_min_y, "
             "MAX(max_x) AS mbr_max_x, MAX(max_y) AS mbr_max_y "
-            f"FROM gxy GROUP BY cx * {GRID.n} + cy"
+            f"FROM gxy GROUP BY cx * {GRID.n} + cy), "
+            f"rz AS (SELECT cx * {GRID.n} + cy AS cell, "
+            "CAST(SUM(CAST(FLOOR((("
+            f"GREATEST(LEAST(max_x, (cx + 1) * {_GS}) - GREATEST(min_x, cx * {_GS}), 0e0) / {_GS}) * ("
+            f"GREATEST(LEAST(max_y, (cy + 1) * {_GS}) - GREATEST(min_y, cy * {_GS}), 0e0) / {_GS})"
+            ") * 1000000e0) AS BIGINT)) AS BIGINT) AS coverage_units "
+            f"FROM gxy GROUP BY cx * {GRID.n} + cy) "
+            "SELECT ts.cell, ts.n_docs, ts.mbr_min_x, ts.mbr_min_y, "
+            "ts.mbr_max_x, ts.mbr_max_y, rz.coverage_units "
+            "FROM ts JOIN rz USING (cell)"
         ),
         "tiles_pyramid": (
             f"WITH r AS ({RECTS_A_SQL}), "

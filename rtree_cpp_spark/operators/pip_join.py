@@ -56,3 +56,166 @@ def pip_join(
             & (F.col("y") > F.col("min_y")) & (F.col("y") < F.col("max_y"))
         )
     return p.join(r, "cell").where(hit).select("point_id", "doc_id")
+
+
+def octagons_from_rects(rects: DataFrame, cut: float = 0.25) -> DataFrame:
+    """Derive a convex CCW octagon per rect by cutting each corner at
+    ``cut`` × (width, height) — a deterministic polygon fixture both the
+    engine and the DuckDB oracle can rebuild from the same parquet
+    columns (no external geometry data, per the input_hint).
+
+    Output: (doc_id, xs array<double>, ys array<double>,
+    min_x..max_y bbox).  Vertex arithmetic is written EXACTLY as the
+    oracle writes it (``min_x + cut*(max_x-min_x)``): IEEE doubles make
+    the two engines bit-identical, so boundary-point membership can
+    never diverge.
+    """
+    c = F.lit(float(cut))
+    w, h = F.col("max_x") - F.col("min_x"), F.col("max_y") - F.col("min_y")
+    x_lo, x_hi = F.col("min_x") + c * w, F.col("max_x") - c * w
+    y_lo, y_hi = F.col("min_y") + c * h, F.col("max_y") - c * h
+    return rects.select(
+        "doc_id", "min_x", "min_y", "max_x", "max_y",
+        F.array(x_lo, x_hi, F.col("max_x"), F.col("max_x"),
+                x_hi, x_lo, F.col("min_x"), F.col("min_x")).alias("xs"),
+        F.array(F.col("min_y"), F.col("min_y"), y_lo, y_hi,
+                F.col("max_y"), F.col("max_y"), y_hi, y_lo).alias("ys"),
+    )
+
+
+def polygon_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    grid: Grid,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRUE point-in-polygon join (north_star: "point-in-polygon joins")
+    — generalizes :func:`pip_join` from rects to arbitrary CONVEX
+    polygons given as CCW vertex arrays.
+
+    ``points(point_id, x, y)`` × ``polygons(id_col, xs, ys[, bbox])``
+    → (point_id, id_col) pairs where the point is inside or on the
+    polygon (closed boundary, consistent with the engine's P1/P3
+    closed-interval convention; RTreeBulkLoad.h:159-163).
+
+    Plan (identical scale shape to pip_join):
+      1. candidate generation — polygons cover-explode on their BBOX to
+         grid cells; each point hashes to its ONE cell; candidates meet
+         by cell equi-join (salted SMJ at scale, exactly-once with no
+         dedup because the point cell is unique);
+      2. exact refine — every edge's cross product
+         ``(x_j-x_i)*(py-y_i) - (y_j-y_i)*(px-x_i) >= 0`` must hold for
+         a CCW convex ring; evaluated with ``F.aggregate`` over the
+         vertex arrays — pure JVM Column expressions, whole-stage
+         codegen, no Python in the hot path.
+    """
+    cols = polygons.columns
+    if not {"min_x", "min_y", "max_x", "max_y"}.issubset(cols):
+        polygons = polygons.select(
+            "*",
+            F.array_min("xs").alias("min_x"), F.array_min("ys").alias("min_y"),
+            F.array_max("xs").alias("max_x"), F.array_max("ys").alias("max_y"),
+        )
+    p = points.select(
+        "point_id",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    ).withColumn("cell", grid.cell_of_point_col(F.col("x"), F.col("y")))
+    g = with_cover_cells(
+        polygons.select(id_col, "xs", "ys", "min_x", "min_y", "max_x", "max_y"), grid
+    )
+    n = F.size(F.col("xs"))
+    xs, ys = F.col("xs"), F.col("ys")
+    px, py = F.col("x"), F.col("y")
+
+    def edge_ok(i):
+        j = F.pmod(i + F.lit(1), n) + F.lit(1)  # element_at is 1-based
+        xi, yi = F.element_at(xs, i + F.lit(1)), F.element_at(ys, i + F.lit(1))
+        xj, yj = F.element_at(xs, j), F.element_at(ys, j)
+        return ((xj - xi) * (py - yi) - (yj - yi) * (px - xi)) >= F.lit(0.0)
+
+    inside = F.aggregate(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        F.lit(True),
+        lambda acc, i: acc & edge_ok(i),
+    )
+    return p.join(g, "cell").where(inside).select("point_id", id_col)
+
+
+def _separated_by(xs_p, ys_p, xs_q, ys_q):
+    """True iff some edge of CCW convex polygon P is a separating axis
+    for polygon Q: all Q vertices strictly outside (cross < 0).  Touching
+    boundaries give cross == 0 → NOT separated (closed semantics,
+    consistent with the engine's closed-interval rect predicate P1)."""
+    n_p = F.size(xs_p)
+
+    def cross(i, j):
+        xi, yi = F.element_at(xs_p, i + F.lit(1)), F.element_at(ys_p, i + F.lit(1))
+        k = F.pmod(i + F.lit(1), n_p) + F.lit(1)
+        xj, yj = F.element_at(xs_p, k), F.element_at(ys_p, k)
+        qx, qy = F.element_at(xs_q, j), F.element_at(ys_q, j)
+        return (xj - xi) * (qy - yi) - (yj - yi) * (qx - xi)
+
+    return F.exists(
+        F.sequence(F.lit(0), n_p - F.lit(1)),
+        lambda i: F.forall(
+            F.sequence(F.lit(1), F.size(xs_q)),
+            lambda j: cross(i, j) < F.lit(0.0),
+        ),
+    )
+
+
+def polygon_join(polys_a: DataFrame, polys_b: DataFrame, grid: Grid) -> DataFrame:
+    """Convex-polygon × convex-polygon INTERSECTION join via the
+    separating-axis test — the polygon generalization of the engine's
+    rect-rect spatial join (reference J1, RTreeBulkLoad.cpp:304-379).
+
+    Inputs: (doc_id, xs, ys[, bbox]) per side, CCW convex rings.
+    Output: directed (a_doc_id, b_doc_id), exactly once per
+    intersecting pair (closed semantics: touching counts).
+
+    Plan (same scale shape as the rect join):
+      1. both sides cover-explode on their BBOX → cell equi-join
+         (salted SMJ at scale, AQE skew backstop);
+      2. exactly-once via the bbox reference-point rule fused into the
+         filter — intersecting polygons have overlapping bboxes, so
+         every true pair survives in exactly one cell, no distinct;
+      3. cheap bbox overlap pre-filter prunes most candidates before
+         the exact SAT refine (two nested exists/forall over the vertex
+         arrays — JVM higher-order functions, no Python)."""
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        if not {"min_x", "min_y", "max_x", "max_y"}.issubset(df.columns):
+            df = df.select(
+                "*",
+                F.array_min("xs").alias("min_x"), F.array_min("ys").alias("min_y"),
+                F.array_max("xs").alias("max_x"), F.array_max("ys").alias("max_y"),
+            )
+        return with_cover_cells(
+            df.select(
+                F.col("doc_id").alias(f"{p}doc_id"),
+                F.col("xs").alias(f"{p}xs"), F.col("ys").alias(f"{p}ys"),
+                F.col("min_x").alias(f"{p}min_x"), F.col("min_y").alias(f"{p}min_y"),
+                F.col("max_x").alias(f"{p}max_x"), F.col("max_y").alias(f"{p}max_y"),
+            ),
+            grid,
+            prefix=p,
+        )
+
+    from rtree_cpp_spark.operators.cover import ref_point_cell_col
+
+    joined = prep(polys_a, "a_").join(prep(polys_b, "b_"), "cell")
+    ref_cell = ref_point_cell_col(
+        grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
+    )
+    bbox_hit = (
+        (F.col("a_min_x") <= F.col("b_max_x")) & (F.col("b_min_x") <= F.col("a_max_x"))
+        & (F.col("a_min_y") <= F.col("b_max_y")) & (F.col("b_min_y") <= F.col("a_max_y"))
+    )
+    sep = _separated_by(
+        F.col("a_xs"), F.col("a_ys"), F.col("b_xs"), F.col("b_ys")
+    ) | _separated_by(F.col("b_xs"), F.col("b_ys"), F.col("a_xs"), F.col("a_ys"))
+    return (
+        joined.where((F.col("cell") == ref_cell) & bbox_hit & ~sep)
+        .select("a_doc_id", "b_doc_id")
+    )

