@@ -50,6 +50,7 @@ from rtree_cpp_spark.operators.tiles import (
     hot_cells,
     primary_tiles,
     rasterize,
+    rasterize_pyramid,
     tile_pyramid,
     tile_stats,
     zonal_stats,
@@ -198,6 +199,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_cover": lambda s, d: cover_tiles(rects.rects_a(s, d), GRID),
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
         "tiles_rasterize": lambda s, d: rasterize(rects.rects_a(s, d), GRID),
+        "tiles_rasterize_pyramid": lambda s, d: rasterize_pyramid(rects.rects_a(s, d), GRID),
         "tiles_zonal_stats": lambda s, d: zonal_stats(rects.rects_a(s, d), _raster(s), GRID),
         "tiles_pyramid": lambda s, d: tile_pyramid(rects.rects_a(s, d), GRID),
         "tiles_hot_cells": lambda s, d: hot_cells(rects.rects_a(s, d), GRID, k=20),
@@ -329,6 +331,25 @@ def _tagged_union(
     return run
 
 
+def _pyramid_gate(fine: dict) -> Callable[[SparkSession, str], DataFrame]:
+    """One gate row value-gating BOTH pyramids (doc counts + raster
+    coverage): same (level, cell) keys, band value renamed to
+    ``metric_value`` and tagged."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = fine["tiles_pyramid"](spark, sf_dir).select(
+            F.lit("docs").alias("band"), "level", "cell",
+            F.col("n_docs").alias("metric_value"),
+        )
+        b = fine["tiles_rasterize_pyramid"](spark, sf_dir).select(
+            F.lit("coverage").alias("band"), "level", "cell",
+            F.col("coverage_units").alias("metric_value"),
+        )
+        return a.unionByName(b)
+
+    return run
+
+
 def _multimodal_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One gate row for the three same-keyed multimodal per-doc maps:
     (kind, n_bytes) from media_meta, checksum from extract_features,
@@ -428,7 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is row-count-preserving; the raster burn-in column is
         # value-gated alongside the MBR stats in one row.
         "tile_stats": _joined(f, ["tile_stats", "tiles_rasterize"], key="cell"),
-        "tiles_pyramid": f["tiles_pyramid"],
+        # both pyramids share (level, cell) keys and a BIGINT band value:
+        # tagged union with the value column renamed on both sides
+        "tiles_pyramid": _pyramid_gate(f),
         "tiles_hot_cells": f["tiles_hot_cells"],
         "spatial_distance_join": f["spatial_distance_join"],
         "dedup_exact": f["dedup_exact"],
@@ -678,6 +701,17 @@ def _pricing_summary(li: DataFrame) -> DataFrame:
 _CELL6 = GRID.cell_of_point_sql  # callable (x_sql, y_sql) -> cell sql
 _CX6 = GRID.cx_sql
 _GS = f"CAST({GRID.cell_size!r} AS DOUBLE)"  # grid cell size literal
+
+# Fixed-point burn-in term per (doc, cover-cell) row of gxy — the IEEE
+# twin of operators/tiles.rasterize's per-term expression (bit-identical
+# in Spark and DuckDB, so the integer SUM is engine- and
+# order-independent).
+_BURN_TERM = (
+    "CAST(FLOOR((("
+    f"GREATEST(LEAST(max_x, (cx + 1) * {_GS}) - GREATEST(min_x, cx * {_GS}), 0e0) / {_GS}) * ("
+    f"GREATEST(LEAST(max_y, (cy + 1) * {_GS}) - GREATEST(min_y, cy * {_GS}), 0e0) / {_GS})"
+    ") * 1000000e0) AS BIGINT)"
+)
 
 _COVER_CTE = (
     "gx AS (SELECT doc_id, min_y, max_y, "
@@ -1305,28 +1339,47 @@ def oracle_sql() -> dict[str, str]:
             "MAX(max_x) AS mbr_max_x, MAX(max_y) AS mbr_max_y "
             f"FROM gxy GROUP BY cx * {GRID.n} + cy), "
             f"rz AS (SELECT cx * {GRID.n} + cy AS cell, "
-            "CAST(SUM(CAST(FLOOR((("
-            f"GREATEST(LEAST(max_x, (cx + 1) * {_GS}) - GREATEST(min_x, cx * {_GS}), 0e0) / {_GS}) * ("
-            f"GREATEST(LEAST(max_y, (cy + 1) * {_GS}) - GREATEST(min_y, cy * {_GS}), 0e0) / {_GS})"
-            ") * 1000000e0) AS BIGINT)) AS BIGINT) AS coverage_units "
+            f"CAST(SUM({_BURN_TERM}) AS BIGINT) AS coverage_units "
             f"FROM gxy GROUP BY cx * {GRID.n} + cy) "
             "SELECT ts.cell, ts.n_docs, ts.mbr_min_x, ts.mbr_min_y, "
             "ts.mbr_max_x, ts.mbr_max_y, rz.coverage_units "
             "FROM ts JOIN rz USING (cell)"
         ),
-        "tiles_pyramid": (
-            f"WITH r AS ({RECTS_A_SQL}), "
-            f"pc AS (SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell FROM r), "
-            f"cc AS (SELECT CAST(FLOOR(cell / {GRID.n}.0) AS BIGINT) AS cx, "
-            f"cell % {GRID.n} AS cy, COUNT(*) AS n FROM pc GROUP BY 1, 2), "
-            "lv AS ("
-            + " UNION ALL ".join(
-                f"SELECT {lvl} AS level, "
-                f"(CAST(FLOOR(cx / {1 << (GRID.level - lvl)}.0) AS BIGINT) * {1 << lvl} "
-                f"+ CAST(FLOOR(cy / {1 << (GRID.level - lvl)}.0) AS BIGINT)) AS cell, n FROM cc"
-                for lvl in range(GRID.level, -1, -1)
-            )
-            + ") SELECT level, cell, CAST(SUM(n) AS BIGINT) AS n_docs FROM lv GROUP BY level, cell"
+        "tiles_pyramid": _tagn(
+            [
+                (
+                    f"WITH r AS ({RECTS_A_SQL}), "
+                    f"pc AS (SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell FROM r), "
+                    f"cc AS (SELECT CAST(FLOOR(cell / {GRID.n}.0) AS BIGINT) AS cx, "
+                    f"cell % {GRID.n} AS cy, COUNT(*) AS n FROM pc GROUP BY 1, 2), "
+                    "lv AS ("
+                    + " UNION ALL ".join(
+                        f"SELECT {lvl} AS level, "
+                        f"(CAST(FLOOR(cx / {1 << (GRID.level - lvl)}.0) AS BIGINT) * {1 << lvl} "
+                        f"+ CAST(FLOOR(cy / {1 << (GRID.level - lvl)}.0) AS BIGINT)) AS cell, n FROM cc"
+                        for lvl in range(GRID.level, -1, -1)
+                    )
+                    + ") SELECT level, cell, CAST(SUM(n) AS BIGINT) AS metric_value "
+                    "FROM lv GROUP BY level, cell",
+                    "docs",
+                ),
+                (
+                    f"WITH r AS ({RECTS_A_SQL}), {_COVER_FULL_CTE}, "
+                    f"cc AS (SELECT cx, cy, CAST(SUM({_BURN_TERM}) AS BIGINT) AS n "
+                    "FROM gxy GROUP BY cx, cy), "
+                    "lv AS ("
+                    + " UNION ALL ".join(
+                        f"SELECT {lvl} AS level, "
+                        f"(CAST(FLOOR(cx / {1 << (GRID.level - lvl)}.0) AS BIGINT) * {1 << lvl} "
+                        f"+ CAST(FLOOR(cy / {1 << (GRID.level - lvl)}.0) AS BIGINT)) AS cell, n FROM cc"
+                        for lvl in range(GRID.level, -1, -1)
+                    )
+                    + ") SELECT level, cell, CAST(SUM(n) AS BIGINT) AS metric_value "
+                    "FROM lv GROUP BY level, cell",
+                    "coverage",
+                ),
+            ],
+            tagcol="band",
         ),
         "tiles_hot_cells": (
             f"WITH r AS ({RECTS_A_SQL}), {_COVER_CTE}, "

@@ -64,6 +64,17 @@ def _cpu_control() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _jvm_control(spark) -> float:
+    """32-core JVM control burn (~0.3-0.8s nominal): a fixed spark.range
+    aggregation over 32 partitions.  The single-thread numpy control
+    can't see MULTI-CORE capacity loss (vCPU steal, effective-core
+    throttling); this one can — together they attribute a slow pass to
+    the machine rather than the engine."""
+    t0 = time.perf_counter()
+    spark.range(0, 400_000_000, 1, 32).selectExpr("sum(id * 3 + 1)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -95,6 +106,7 @@ def main() -> None:
         "tile_stats",
         "tiles_zonal_stats",
         "tiles_rasterize",
+        "tiles_rasterize_pyramid",
         "tiles_pyramid",
         "tiles_hot_cells",
         "spatial_distance_join",
@@ -149,16 +161,22 @@ def main() -> None:
     # throttle phase (multi-minute, BENCH/BASELINE.md) — add passes
     # (up to MAX_RUNS) until one starts unthrottled, so the per-query
     # min has at least one clean pass behind it.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     max_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
     timings: dict[str, float] = {name: float("inf") for name in headline}
     rows: dict[str, int] = {}
     controls: list[float] = []
+    jvm_controls: list[float] = []
     pass_i = 0
     while pass_i < n_runs or (
-        pass_i < max_runs and controls[-1] > 1.25 * min(controls)
+        pass_i < max_runs
+        and (
+            controls[-1] > 1.25 * min(controls)
+            or jvm_controls[-1] > 1.25 * min(jvm_controls)
+        )
     ):
         controls.append(_cpu_control())
+        jvm_controls.append(_jvm_control(spark))
         for name in headline:
             t0 = time.perf_counter()
             rows[name] = qmap[name](spark, sf_dir).count()
@@ -185,6 +203,7 @@ def main() -> None:
         "cpu_control_sec": {
             "pre": control_pre,
             "per_pass": controls,
+            "jvm_per_pass": jvm_controls,
             "post": _cpu_control(),
         },
     }

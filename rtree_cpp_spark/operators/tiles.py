@@ -77,8 +77,16 @@ def tile_pyramid(data_rects: DataFrame, grid: Grid) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_docs"))
     )
-    # exact integer decode (cy first, then the remainder division — the
-    # same form as Grid.cell_box_cols): no float rounding at any grid size
+    return _pyramid_rollup(base, grid, "n_docs")
+
+
+def _pyramid_rollup(per_cell: DataFrame, grid: Grid, value_col: str) -> DataFrame:
+    """Roll an O(cells) per-cell integer aggregate up the level chain:
+    (level, cell, value) for every level from ``grid.level`` to 0.
+    Exact integer decode (cy first, then the remainder division — the
+    same form as Grid.cell_box_cols): no float rounding at any grid
+    size; parent cells are prefix arithmetic (reference upper-level STR
+    build, RTreeBulkLoad.cpp:62-97)."""
     n = F.lit(grid.n)
     cy = F.col("cell") % n
     cx = ((F.col("cell") - cy) / n).cast("long")
@@ -95,10 +103,22 @@ def tile_pyramid(data_rects: DataFrame, grid: Grid) -> DataFrame:
         ]
     )
     return (
-        base.select(F.explode(chain).alias("lc"), "n_docs")
+        per_cell.select(F.explode(chain).alias("lc"), value_col)
         .groupBy(F.col("lc.level").alias("level"), F.col("lc.pcell").alias("cell"))
-        .agg(F.sum("n_docs").alias("n_docs"))
+        .agg(F.sum(value_col).alias(value_col))
     )
+
+
+def rasterize_pyramid(data_rects: DataFrame, grid: Grid, scale: int = 1_000_000) -> DataFrame:
+    """Multi-resolution raster pyramid: the burn-in band at every level
+    from ``grid.level`` to 0 — (level, cell, coverage_units).
+
+    Because :func:`rasterize` emits INTEGER fixed-point units, the
+    rollup is exact at every level (a parent's units are exactly the sum
+    of its children's — no re-clipping, no float drift), so upper levels
+    cost one O(cells) pass, never a second look at the docs.  This is
+    the tile-server zoom stack: one O(docs) shuffle total."""
+    return _pyramid_rollup(rasterize(data_rects, grid, scale), grid, "coverage_units")
 
 
 def hot_cells(data_rects: DataFrame, grid: Grid, k: int = 20) -> DataFrame:

@@ -313,6 +313,26 @@ def test_polygon_pip_join_vs_brute(spark, rects_a_df, rects_a_pdf):
     assert len(got.merge(closed, on=["point_id", "doc_id"])) == len(got)
 
 
+def test_rasterize_pyramid_exact_rollup(spark, rects_a_df):
+    """Parent units are EXACTLY the sum of the children's (integer
+    fixed-point makes the rollup lossless), and the base level equals
+    the flat rasterize output."""
+    from rtree_cpp_spark.operators.tiles import rasterize, rasterize_pyramid
+
+    grid = Grid(6)
+    pyr = rasterize_pyramid(rects_a_df, grid).toPandas()
+    base = rasterize(rects_a_df, grid).toPandas()
+    lvl_base = pyr[pyr["level"] == grid.level][["cell", "coverage_units"]]
+    m = lvl_base.merge(base, on="cell", suffixes=("_p", "_b"))
+    assert len(m) == len(base) == len(lvl_base)
+    assert (m["coverage_units_p"] == m["coverage_units_b"]).all()
+    # every level preserves the total exactly
+    totals = pyr.groupby("level")["coverage_units"].sum()
+    assert totals.nunique() == 1
+    # level 0 is a single root cell
+    assert len(pyr[pyr["level"] == 0]) == 1
+
+
 def _octagon_verts_np(pdf):
     """(8, N) CCW octagon vertex arrays with the operator's arithmetic."""
     mnx = pdf["min_x"].to_numpy(dtype=np.float64)
