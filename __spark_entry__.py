@@ -52,6 +52,7 @@ from rtree_cpp_spark.operators.tiles import (
     rasterize,
     rasterize_pyramid,
     tile_pyramid,
+    tile_topk,
     tile_stats,
     zonal_stats,
 )
@@ -200,6 +201,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats": lambda s, d: tile_stats(rects.rects_a(s, d), GRID),
         "tiles_rasterize": lambda s, d: rasterize(rects.rects_a(s, d), GRID),
         "tiles_rasterize_pyramid": lambda s, d: rasterize_pyramid(rects.rects_a(s, d), GRID),
+        "tiles_topk": lambda s, d: tile_topk(
+            rects.rects_a(s, d), rects.rect_values(s, d), GRID, k=3
+        ),
         "tiles_zonal_stats": lambda s, d: zonal_stats(rects.rects_a(s, d), _raster(s), GRID),
         "tiles_pyramid": lambda s, d: tile_pyramid(rects.rects_a(s, d), GRID),
         "tiles_hot_cells": lambda s, d: hot_cells(rects.rects_a(s, d), GRID, k=20),
@@ -428,7 +432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ("spatial_pip_polygon", "polygon")],
             tagcol="mode",
         ),
-        "tiles_assign": _merged(f, "tiles_primary", "tiles_cover", "variant", "primary", "cover"),
+        "tiles_assign": _tagged_union(
+            f,
+            [("tiles_primary", "primary"), ("tiles_cover", "cover"),
+             ("tiles_topk", "top3")],
+        ),
         # --- long-stable rows ---
         # (ann_lsh_topk folded into "ann_topk" below; it still absorbs
         # ann_lsh_buckets — the 4-plane bucket table is computed inside
@@ -1328,7 +1336,21 @@ def oracle_sql() -> dict[str, str]:
             f"COUNT(*) AS n FROM ({RECTS_A_SQL}) GROUP BY 1)"
             for lvl in (4, 5, 6)
         ),
-        "tiles_assign": _tag2(tiles_primary_sql, "primary", tiles_cover_sql, "cover"),
+        "tiles_assign": _tagn(
+            [
+                (tiles_primary_sql, "primary"),
+                (tiles_cover_sql, "cover"),
+                (
+                    f"WITH r AS ({RECTS_A_SQL}), v AS ({rects.RECT_VALUES_SQL}), "
+                    f"pt AS (SELECT {_CELL6('(min_x + max_x) / 2e0', '(min_y + max_y) / 2e0')} AS cell, "
+                    "r.doc_id, v.value FROM r JOIN v USING (doc_id)), "
+                    "rk AS (SELECT cell, doc_id, ROW_NUMBER() OVER "
+                    "(PARTITION BY cell ORDER BY value DESC, doc_id) AS rnk FROM pt) "
+                    "SELECT cell, doc_id FROM rk WHERE rnk <= 3",
+                    "top3",
+                ),
+            ]
+        ),
         # burn-in term: floor() of the IDENTICAL IEEE expression as
         # operators/tiles.rasterize — bit-identical per term, then an
         # integer-exact (order-independent) SUM

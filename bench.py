@@ -109,6 +109,7 @@ def main() -> None:
         "tiles_rasterize_pyramid",
         "tiles_pyramid",
         "tiles_hot_cells",
+        "tiles_topk",
         "spatial_distance_join",
         "layout_occupancy",
         "dedup_minhash_lsh",

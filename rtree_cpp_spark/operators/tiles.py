@@ -176,6 +176,30 @@ def hot_cells(data_rects: DataFrame, grid: Grid, k: int = 20) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def tile_topk(
+    data_rects: DataFrame, values: DataFrame, grid: Grid, k: int = 3
+) -> DataFrame:
+    """Per-tile top-k ranking — the "top-k docs per tile" query a tile
+    service serves (k POIs per map tile): (cell, doc_id) of the k
+    highest-valued docs in each PRIMARY tile, ties broken by doc_id.
+
+    Scale shape: ONE shuffle (the per-cell window); Spark's
+    WindowGroupLimit pushes the k-filter below the sort so each
+    partition keeps at most k rows per cell before the exchange —
+    O(k x cells) survives, not O(docs).  ``values`` is (doc_id, value),
+    broadcast when small."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(F.col("value").desc(), F.col("doc_id"))
+    return (
+        primary_tiles(data_rects, grid)
+        .join(values, "doc_id")
+        .withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= k)
+        .select("cell", "doc_id")
+    )
+
+
 def rasterize(data_rects: DataFrame, grid: Grid, scale: int = 1_000_000) -> DataFrame:
     """Vector→raster BURN-IN: per-cell total coverage of the vector
     layer — the inverse direction of :func:`zonal_stats`, completing the

@@ -313,6 +313,35 @@ def test_polygon_pip_join_vs_brute(spark, rects_a_df, rects_a_pdf):
     assert len(got.merge(closed, on=["point_id", "doc_id"])) == len(got)
 
 
+def test_tile_topk_vs_brute(spark, rects_a_df, rects_a_pdf):
+    """Per-tile top-k selection vs a pandas brute force (value desc,
+    doc_id tiebreak), and the WindowGroupLimit bound: ≤ k rows/cell."""
+    from rtree_cpp_spark.operators.tiles import tile_topk
+
+    grid = Grid(6)
+    vals = pd.DataFrame({
+        "doc_id": rects_a_pdf["doc_id"],
+        "value": [(i * 37) % 1000 for i in range(len(rects_a_pdf))],
+    })
+    got_df = tile_topk(rects_a_df, spark.createDataFrame(vals), grid, k=3)
+    got = got_df.toPandas()
+    cx = grid.cx_of(
+        (rects_a_pdf["min_x"].to_numpy() + rects_a_pdf["max_x"].to_numpy()) / 2.0
+    )
+    cy = grid.cx_of(
+        (rects_a_pdf["min_y"].to_numpy() + rects_a_pdf["max_y"].to_numpy()) / 2.0
+    )
+    base = pd.DataFrame({"cell": cx * grid.n + cy, "doc_id": rects_a_pdf["doc_id"]})
+    merged = base.merge(vals, on="doc_id")
+    exp = (
+        merged.sort_values(["cell", "value", "doc_id"], ascending=[True, False, True])
+        .groupby("cell")
+        .head(3)[["cell", "doc_id"]]
+    )
+    assert_same_rows(got_df, exp)
+    assert got.groupby("cell").size().max() <= 3
+
+
 def test_rasterize_pyramid_exact_rollup(spark, rects_a_df):
     """Parent units are EXACTLY the sum of the children's (integer
     fixed-point makes the rollup lossless), and the base level equals
