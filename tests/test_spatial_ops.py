@@ -419,6 +419,95 @@ def test_polygon_join_vs_brute_sat(spark, rects_a_df, rects_b_df, rects_a_pdf, r
     assert len(got) < len(rect_pairs)
 
 
+def _random_convex_polys(n_polys: int, seed: int, id_prefix: str) -> pd.DataFrame:
+    """General convex CCW polygons (3-10 vertices): sorted-angle samples
+    of randomly placed/rotated ellipses — in convex position by
+    construction, no two alike, NOT octagons (exercises the general
+    vertex-count path of the SAT/PIP kernels)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_polys):
+        n = rng.randint(3, 11)
+        th = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        # reject near-duplicate angles (degenerate edges)
+        while np.min(np.diff(np.concatenate([th, [th[0] + 2 * np.pi]]))) < 1e-3:
+            th = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        cx, cy = rng.uniform(100, 900, size=2)
+        rx, ry = rng.uniform(5, 60, size=2)
+        rot = rng.uniform(0, np.pi)
+        ex, ey = rx * np.cos(th), ry * np.sin(th)
+        xs = cx + ex * np.cos(rot) - ey * np.sin(rot)
+        ys = cy + ex * np.sin(rot) + ey * np.cos(rot)
+        rows.append((f"{id_prefix}{i}", xs.tolist(), ys.tolist()))
+    return pd.DataFrame(rows, columns=["doc_id", "xs", "ys"])
+
+
+def _sat_intersects_np(ax, ay, bx, by) -> bool:
+    """Closed-boundary SAT for two CCW convex rings (numpy brute)."""
+    def separated(px, py, qx, qy):
+        for i in range(len(px)):
+            j = (i + 1) % len(px)
+            cross = (px[j] - px[i]) * (qy - py[i]) - (py[j] - py[i]) * (qx - px[i])
+            if np.all(cross < 0):
+                return True
+        return False
+
+    return not separated(ax, ay, bx, by) and not separated(bx, by, ax, ay)
+
+
+def test_polygon_join_general_convex(spark):
+    """SAT join on GENERAL random convex polygons (3-10 verts, rotated)
+    vs the all-pairs numpy brute — proves the kernel is not
+    octagon-specific."""
+    from rtree_cpp_spark.operators.pip_join import polygon_join
+
+    apdf = _random_convex_polys(70, seed=7, id_prefix="PA")
+    bpdf = _random_convex_polys(60, seed=11, id_prefix="PB")
+    grid = Grid(5)
+    got_df = polygon_join(
+        spark.createDataFrame(apdf), spark.createDataFrame(bpdf), grid
+    )
+    exp_rows = []
+    for _, ra in apdf.iterrows():
+        ax, ay = np.asarray(ra["xs"]), np.asarray(ra["ys"])
+        for _, rb in bpdf.iterrows():
+            bx, by = np.asarray(rb["xs"]), np.asarray(rb["ys"])
+            if _sat_intersects_np(ax, ay, bx, by):
+                exp_rows.append((ra["doc_id"], rb["doc_id"]))
+    exp = pd.DataFrame(exp_rows, columns=["a_doc_id", "b_doc_id"])
+    assert len(exp) > 0
+    assert_same_rows(got_df, exp)
+
+
+def test_polygon_pip_general_convex(spark):
+    """General-convex PIP: membership for random points vs the numpy
+    cross-product rule, across varying vertex counts."""
+    from rtree_cpp_spark.operators.pip_join import polygon_pip_join
+
+    gpdf = _random_convex_polys(80, seed=13, id_prefix="PG")
+    rng = np.random.RandomState(17)
+    pts = pd.DataFrame({
+        "point_id": [f"P{i}" for i in range(300)],
+        "x": rng.uniform(50, 950, size=300),
+        "y": rng.uniform(50, 950, size=300),
+    })
+    grid = Grid(5)
+    got_df = polygon_pip_join(
+        spark.createDataFrame(pts), spark.createDataFrame(gpdf), grid
+    )
+    exp_rows = []
+    for _, rg in gpdf.iterrows():
+        gx, gy = np.asarray(rg["xs"]), np.asarray(rg["ys"])
+        gxj, gyj = np.roll(gx, -1), np.roll(gy, -1)
+        for pid, px, py in zip(pts["point_id"], pts["x"], pts["y"]):
+            cross = (gxj - gx) * (py - gy) - (gyj - gy) * (px - gx)
+            if np.all(cross >= 0):
+                exp_rows.append((pid, rg["doc_id"]))
+    exp = pd.DataFrame(exp_rows, columns=["point_id", "doc_id"])
+    assert len(exp) > 0
+    assert_same_rows(got_df, exp)
+
+
 def test_tile_pyramid_rollup(spark, rects_a_df, rects_a_pdf):
     from rtree_cpp_spark.operators.tiles import tile_pyramid
 
