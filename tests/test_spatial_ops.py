@@ -508,6 +508,40 @@ def test_polygon_pip_general_convex(spark):
     assert_same_rows(got_df, exp)
 
 
+def test_polygon_refine_kernel_equals_expr(spark):
+    """The Arrow-kernel refine returns EXACTLY the expr variant's rows
+    (same IEEE cross products, different execution), on general convex
+    polygons with mixed vertex counts."""
+    from rtree_cpp_spark.operators.pip_join import polygon_join, polygon_pip_join
+
+    apdf = _random_convex_polys(50, seed=19, id_prefix="KA")
+    bpdf = _random_convex_polys(40, seed=23, id_prefix="KB")
+    grid = Grid(5)
+    a_df, b_df = spark.createDataFrame(apdf), spark.createDataFrame(bpdf)
+    expr = polygon_join(a_df, b_df, grid).toPandas()
+    kern = polygon_join(a_df, b_df, grid, refine="kernel").toPandas()
+    key = ["a_doc_id", "b_doc_id"]
+    pd.testing.assert_frame_equal(
+        expr.sort_values(key).reset_index(drop=True),
+        kern.sort_values(key).reset_index(drop=True),
+    )
+    rng = np.random.RandomState(29)
+    pts = pd.DataFrame({
+        "point_id": [f"Q{i}" for i in range(200)],
+        "x": rng.uniform(50, 950, size=200),
+        "y": rng.uniform(50, 950, size=200),
+    })
+    p_df = spark.createDataFrame(pts)
+    expr_p = polygon_pip_join(p_df, a_df, grid).toPandas()
+    kern_p = polygon_pip_join(p_df, a_df, grid, refine="kernel").toPandas()
+    key = ["point_id", "doc_id"]
+    pd.testing.assert_frame_equal(
+        expr_p.sort_values(key).reset_index(drop=True),
+        kern_p.sort_values(key).reset_index(drop=True),
+    )
+    assert len(expr) > 0 and len(expr_p) > 0
+
+
 def test_tile_pyramid_rollup(spark, rects_a_df, rects_a_pdf):
     from rtree_cpp_spark.operators.tiles import tile_pyramid
 
