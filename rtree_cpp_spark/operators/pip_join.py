@@ -274,7 +274,13 @@ def _separated_by(xs_p, ys_p, xs_q, ys_q):
 
 
 def polygon_join(
-    polys_a: DataFrame, polys_b: DataFrame, grid: Grid, refine: str = "expr"
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    grid: Grid,
+    refine: str = "expr",
+    hot_threshold: int | None = None,
+    n_salt: int = 16,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """Convex-polygon × convex-polygon INTERSECTION join via the
     separating-axis test — the polygon generalization of the engine's
@@ -299,7 +305,13 @@ def polygon_join(
     per-edge IEEE cross products as an Arrow-batched numpy kernel
     (mapInPandas) — the scale path when bbox-overlapping candidates
     dominate (measured 8.6x vs the rect join for 'expr' at 10^6 rows;
-    scripts/polygon_scale_run.py tracks both)."""
+    scripts/polygon_scale_run.py tracks both).
+
+    ``hot_threshold`` enables the same explicit hot-cell salting as the
+    rect join (spatial_join.spatial_join_salted: census over a seeded
+    ``sample_fraction``, A rows hash into ``n_salt`` buckets, B rows fan
+    out) — salting only re-partitions the same candidate pairs, so
+    output rows are identical (pytest-asserted on a skewed fixture)."""
     if refine not in ("expr", "kernel"):
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
 
@@ -323,7 +335,40 @@ def polygon_join(
 
     from rtree_cpp_spark.operators.cover import ref_point_cell_col
 
-    joined = prep(polys_a, "a_").join(prep(polys_b, "b_"), "cell")
+    pa, pb = prep(polys_a, "a_"), prep(polys_b, "b_")
+    if hot_threshold is None:
+        joined = pa.join(pb, "cell")
+    else:
+        census_src = (
+            pa
+            if sample_fraction >= 1.0
+            else prep(polys_a.sample(fraction=sample_fraction, seed=42), "a_")
+        )
+        hot = (
+            census_src.groupBy("cell")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > hot_threshold * sample_fraction)
+            .select("cell", F.lit(n_salt).alias("_n_salt"))
+        )
+        sa = pa.join(F.broadcast(hot), "cell", "left").withColumn(
+            "salt",
+            F.when(F.col("_n_salt").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("a_doc_id"), F.col("_n_salt")).cast("int")
+            ),
+        ).drop("_n_salt")
+        sb = (
+            pb.join(F.broadcast(hot), "cell", "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.when(F.col("_n_salt").isNull(), F.array(F.lit(0))).otherwise(
+                        F.sequence(F.lit(0), F.col("_n_salt") - 1)
+                    )
+                ),
+            )
+            .drop("_n_salt")
+        )
+        joined = sa.join(sb, ["cell", "salt"])
     ref_cell = ref_point_cell_col(
         grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
     )

@@ -508,6 +508,26 @@ def test_polygon_pip_general_convex(spark):
     assert_same_rows(got_df, exp)
 
 
+def test_polygon_join_salted_equals_unsalted(spark):
+    """Hot-cell salting on the polygon join only re-partitions the same
+    candidate pairs: identical rows with an aggressive threshold that
+    salts essentially every populated cell."""
+    from rtree_cpp_spark.operators.pip_join import polygon_join
+
+    apdf = _random_convex_polys(60, seed=31, id_prefix="SA")
+    bpdf = _random_convex_polys(50, seed=37, id_prefix="SB")
+    grid = Grid(5)
+    a_df, b_df = spark.createDataFrame(apdf), spark.createDataFrame(bpdf)
+    plain = polygon_join(a_df, b_df, grid).toPandas()
+    salted = polygon_join(a_df, b_df, grid, hot_threshold=1, n_salt=4).toPandas()
+    key = ["a_doc_id", "b_doc_id"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True),
+        salted.sort_values(key).reset_index(drop=True),
+    )
+    assert len(plain) > 0
+
+
 def test_polygon_refine_kernel_equals_expr(spark):
     """The Arrow-kernel refine returns EXACTLY the expr variant's rows
     (same IEEE cross products, different execution), on general convex
