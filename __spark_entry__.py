@@ -188,10 +188,14 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip_polygon": lambda s, d: polygon_pip_join(
             _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID
         ),
+        # kernel refine = the scale path (BENCH/polygon_scale.json: 2.1x
+        # the expr form at 10^6 rows); expr is value-identical
+        # (pytest + the scale script's identity gate)
         "spatial_join_octagon": lambda s, d: polygon_join(
             octagons_from_rects(rects.rects_a(s, d)),
             octagons_from_rects(rects.rects_b(s, d)),
             GRID,
+            refine="kernel",
         ),
         "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
         "interleaved_extract": _interleaved_extract,
