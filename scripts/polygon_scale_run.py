@@ -113,6 +113,9 @@ def main() -> None:
         "polygon_pip": lambda: polygon_pip_join(pts, oa, GRID),
         "polygon_pip_kernel": lambda: polygon_pip_join(pts, oa, GRID, refine="kernel"),
     }
+    only = os.environ.get("POLY_SCALE_OPS")
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only.split(",")}
     for name, make in ops.items():
         make().count()  # warm
         best = float("inf")
@@ -133,6 +136,15 @@ def main() -> None:
         .join(pip_join(pts, a, GRID, "closed"), ["point_id", "doc_id"], "left_anti")
         .count()
     )
+    if only:
+        # subset probe (e.g. a parallelism-scaling datapoint): publish
+        # walls only, skip the full gate battery and the JSON artifact
+        print(json.dumps({"n_a": n_a, "n_b": n_b, "n_pts": n_pts,
+                          "cpus": cpus, "walls_sec": walls,
+                          "output_rows": counts, "subset": only}))
+        spark.stop()
+        return
+
     # expr ↔ kernel identity: same counts + empty symmetric differences
     kj_extra = (
         polygon_join(oa, ob, GRID, refine="kernel")
