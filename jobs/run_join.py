@@ -4,11 +4,15 @@
     spark-submit --py-files engine.zip jobs/run_join.py \
         --input-a <docs_a> --input-b <docs_b> \
         --output /data/out/pairs --manifest /data/out/manifest \
-        [--hot-threshold 100000] [--n-salt 16]
+        [--hot-threshold 100000] [--n-salt 16] [--geometry rect|octagon]
 
 Output: (a_doc_id, b_doc_id) partitioned by the reference-point coarse
 cell (`part`) with per-partition lineage rows in the manifest; re-running
 with the same --run-id skips completed partitions.
+
+``--geometry octagon`` runs the convex-polygon SAT join (Arrow-kernel
+refine + the same census salting) on corner-cut octagons derived from
+the doc rects, with the same reference-cell output partitioning.
 """
 
 from __future__ import annotations
@@ -31,19 +35,32 @@ def main() -> None:
     p.add_argument("--input-b", required=True)
     p.add_argument("--hot-threshold", type=int, default=100_000)
     p.add_argument("--n-salt", type=int, default=16)
+    p.add_argument("--geometry", choices=["rect", "octagon"], default="rect")
     args = p.parse_args()
 
     spark = build_session("rtree-spark-join", args)
     grid = Grid(args.grid_level, args.extent)
     a = load_rects(spark, args.input_a, args.format)
     b = load_rects(spark, args.input_b, args.format)
-    pairs = spatial_join_salted(
-        a, b, grid, hot_threshold=args.hot_threshold, n_salt=args.n_salt, keep_cell=True
-    )
+    if args.geometry == "octagon":
+        from rtree_cpp_spark.operators.pip_join import (
+            octagons_from_rects, polygon_join,
+        )
+
+        pairs = polygon_join(
+            octagons_from_rects(a), octagons_from_rects(b), grid,
+            refine="kernel", hot_threshold=args.hot_threshold,
+            n_salt=args.n_salt, keep_cell=True,
+        )
+    else:
+        pairs = spatial_join_salted(
+            a, b, grid, hot_threshold=args.hot_threshold,
+            n_salt=args.n_salt, keep_cell=True,
+        )
     out = pairs.withColumn(
         "part", coarse_cell_col(grid, args.coarse_level, F.col("cell"))
     ).drop("cell")
-    finish(out, args, stage="spatial_join")
+    finish(out, args, stage=f"spatial_join_{args.geometry}")
     spark.stop()
 
 

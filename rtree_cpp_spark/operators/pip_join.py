@@ -226,9 +226,11 @@ def _sat_kernel(batches):
         cross = ex * dy - ey * dx
         return (cross < 0.0).all(axis=2).any(axis=1)
 
+    _VERT_COLS = ("a_xs", "a_ys", "b_xs", "b_ys")
     for pdf in batches:
+        out_cols = [c for c in pdf.columns if c not in _VERT_COLS]
         if len(pdf) == 0:
-            yield pdf[["a_doc_id", "b_doc_id"]]
+            yield pdf[out_cols]
             continue
         import numpy as np
 
@@ -247,7 +249,7 @@ def _sat_kernel(batches):
                 bvx, bvy = to_m("b_xs", nb), to_m("b_ys", nb)
                 sep = sep_flags(avx, avy, bvx, bvy) | sep_flags(bvx, bvy, avx, avy)
                 keep[idx] = ~sep
-        yield pdf.loc[keep, ["a_doc_id", "b_doc_id"]]
+        yield pdf.loc[keep, out_cols]
 
 
 def _separated_by(xs_p, ys_p, xs_q, ys_q):
@@ -281,6 +283,7 @@ def polygon_join(
     hot_threshold: int | None = None,
     n_salt: int = 16,
     sample_fraction: float = 1.0,
+    keep_cell: bool = False,
 ) -> DataFrame:
     """Convex-polygon × convex-polygon INTERSECTION join via the
     separating-axis test — the polygon generalization of the engine's
@@ -377,11 +380,13 @@ def polygon_join(
         & (F.col("a_min_y") <= F.col("b_max_y")) & (F.col("b_min_y") <= F.col("a_max_y"))
     )
     cand = joined.where((F.col("cell") == ref_cell) & bbox_hit)
+    out_cols = ["a_doc_id", "b_doc_id"] + (["cell"] if keep_cell else [])
     if refine == "expr":
         sep = _separated_by(
             F.col("a_xs"), F.col("a_ys"), F.col("b_xs"), F.col("b_ys")
         ) | _separated_by(F.col("b_xs"), F.col("b_ys"), F.col("a_xs"), F.col("a_ys"))
-        return cand.where(~sep).select("a_doc_id", "b_doc_id")
-    return cand.select(
-        "a_doc_id", "b_doc_id", "a_xs", "a_ys", "b_xs", "b_ys"
-    ).mapInPandas(_sat_kernel, schema="a_doc_id string, b_doc_id string")
+        return cand.where(~sep).select(*out_cols)
+    schema = "a_doc_id string, b_doc_id string" + (", cell bigint" if keep_cell else "")
+    return cand.select(*out_cols, "a_xs", "a_ys", "b_xs", "b_ys").mapInPandas(
+        _sat_kernel, schema=schema
+    )
