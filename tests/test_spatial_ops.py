@@ -508,6 +508,27 @@ def test_polygon_pip_general_convex(spark):
     assert_same_rows(got_df, exp)
 
 
+def test_polygon_kernels_empty_and_disjoint(spark):
+    """Kernel refine paths survive zero-size Arrow batches: disjoint
+    corpora (zero candidates) and an empty point set both return empty
+    results without touching the numpy stacking path."""
+    from rtree_cpp_spark.operators.pip_join import polygon_join, polygon_pip_join
+
+    apdf = _random_convex_polys(10, seed=41, id_prefix="EA")
+    bpdf = _random_convex_polys(10, seed=43, id_prefix="EB")
+    # shift B far outside A's extent (and the grid domain clamps covers)
+    bpdf["xs"] = bpdf["xs"].map(lambda v: [x + 5000.0 for x in v])
+    grid = Grid(5)
+    a_df, b_df = spark.createDataFrame(apdf), spark.createDataFrame(bpdf)
+    assert polygon_join(a_df, b_df, grid, refine="kernel").count() == 0
+    empty_pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": pd.Series(dtype=str),
+                      "x": pd.Series(dtype=float), "y": pd.Series(dtype=float)}),
+        schema="point_id string, x double, y double",
+    )
+    assert polygon_pip_join(empty_pts, a_df, grid, refine="kernel").count() == 0
+
+
 def test_polygon_join_salted_equals_unsalted(spark):
     """Hot-cell salting on the polygon join only re-partitions the same
     candidate pairs: identical rows with an aggressive threshold that
