@@ -117,7 +117,9 @@ def polygon_pip_join(
     - ``'kernel'``: Arrow-batched numpy (``mapInPandas``) — vectorizes
       the cross products across the whole candidate batch (ragged
       vertex lists stacked per distinct count); the scale path when
-      bbox survivors are a large share of candidates.
+      bbox survivors are a large share of candidates.  The kernel
+      declares string id columns (the engine's doc_id contract); use
+      'expr' for non-string ids.
     """
     if refine not in ("expr", "kernel"):
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
