@@ -44,7 +44,12 @@ from rtree_cpp_spark.operators.range_query import (
     range_count,
     range_query,
 )
-from rtree_cpp_spark.operators.spatial_join import distance_join, spatial_join, spatial_join_salted
+from rtree_cpp_spark.operators.spatial_join import (
+    distance_join,
+    spatial_join,
+    spatial_join_adaptive,
+    spatial_join_salted,
+)
 from rtree_cpp_spark.operators.tiles import (
     cover_tiles,
     hot_cells,
@@ -167,6 +172,13 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rects.rects_a(s, d), rects.rects_b(s, d), GRID,
             hot_threshold=2000, n_salt=8, sample_fraction=0.25,
         ),
+        # mixed-resolution adaptive cells: hot coarse cells subdivide
+        # 2 levels finer (STR's density-adaptive leaf extent, structural
+        # skew defense — candidate pairs SHRINK instead of re-sharding)
+        "spatial_join_adaptive": lambda s, d: spatial_join_adaptive(
+            rects.rects_a(s, d), rects.rects_b(s, d), GRID,
+            hot_threshold=2000, levels_finer=2, sample_fraction=0.25,
+        ),
         "spatial_knn": lambda s, d: knn(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
         "spatial_knn_kernel": lambda s, d: knn_kernel(rects.rects_a(s, d), rects.queries_knn(s, d), GRID),
         "spatial_knn_join": lambda s, d: knn_join(
@@ -187,6 +199,13 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
         "spatial_pip_polygon": lambda s, d: polygon_pip_join(
             _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID
+        ),
+        # the Arrow-kernel refine is the declared scale path
+        # (BENCH/polygon_scale.json) — gated as its own mode so BOTH fold
+        # implementations are value-verified by the driver
+        "spatial_pip_polygon_kernel": lambda s, d: polygon_pip_join(
+            _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID,
+            refine="kernel",
         ),
         # kernel refine = the scale path (BENCH/polygon_scale.json: 2.1x
         # the expr form at 10^6 rows); expr is value-identical
@@ -288,6 +307,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- storage + streaming paths under the gate ---
         "layout_range_query": _layout_range_query,
         "stream_sessionize": _stream_sessionize,
+        "tiles_rasterize_stream": _tiles_rasterize_stream,
         "spatial_join_bucketed": _spatial_join_bucketed,
     }
 
@@ -426,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [
                 ("spatial_join", "plain"),
                 ("spatial_join_salted", "salted"),
+                ("spatial_join_adaptive", "adaptive"),
                 ("spatial_join_bucketed", "bucketed"),
                 ("spatial_join_octagon", "octagon"),
             ],
@@ -433,7 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip": _tagged_union(
             f,
             [("spatial_pip", "closed"), ("spatial_pip_strict", "open"),
-             ("spatial_pip_polygon", "polygon")],
+             ("spatial_pip_polygon", "polygon"),
+             ("spatial_pip_polygon_kernel", "polygon_kernel")],
             tagcol="mode",
         ),
         "tiles_assign": _tagged_union(
@@ -456,11 +478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_occupancy": f["layout_occupancy"],
         "interleaved_extract": f["interleaved_extract"],
         "interleaved_join_spans": f["interleaved_join_spans"],
-        # tile_stats ⋈ rasterize on cell: both are per-cover-cell maps of
-        # the same rect set, so the key sets are identical and the join
-        # is row-count-preserving; the raster burn-in column is
-        # value-gated alongside the MBR stats in one row.
-        "tile_stats": _joined(f, ["tile_stats", "tiles_rasterize"], key="cell"),
+        # tile_stats ⋈ rasterize ⋈ STREAMING rasterize on cell: all three
+        # are per-cover-cell maps of the same rect set, so the key sets
+        # are identical and the join is row-count-preserving; the batch
+        # burn-in column AND the streamed delta-fold column are
+        # value-gated alongside the MBR stats in one row (the stream fold
+        # must reproduce the batch band bit-exactly).
+        "tile_stats": _joined(
+            f, ["tile_stats", "tiles_rasterize", "tiles_rasterize_stream"], key="cell"
+        ),
         # both pyramids share (level, cell) keys and a BIGINT band value:
         # tagged union with the value column renamed on both sides
         "tiles_pyramid": _pyramid_gate(f),
@@ -624,6 +650,27 @@ def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("end_ts").alias("end_ts"),
         )
         .select("user_id", "session_id", "n_events", "start_ts", "end_ts")
+    )
+
+
+def _tiles_rasterize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING rasterize path under the gate: drain the interleaved
+    A docs through the availableNow foreachBatch rasterizer (per-batch
+    coverage DELTAS written idempotently under batch_id partitions) and
+    fold the deltas per cell.  Joined into the ``tile_stats`` gate row,
+    so the stateless-delta streaming pattern is value-verified end-to-end
+    against the same DuckDB oracle as the batch burn-in — the delta fold
+    must reproduce the batch band exactly (integer fixed-point units)."""
+    from rtree_cpp_spark.streaming.stream_ops import run_stream_rasterize_once
+
+    work = _scratch_dir("stream_raster", per_call=True)
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    rects.interleaved_docs_a(spark, sf_dir).coalesce(1).write.parquet(src)
+    run_stream_rasterize_once(spark, src, out, ckpt, GRID)
+    return (
+        spark.read.parquet(out)
+        .groupBy("cell")
+        .agg(F.sum("coverage_units").alias("stream_coverage_units"))
     )
 
 
@@ -1281,8 +1328,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, COALESCE(hits.c, 0) AS n_hits FROM q LEFT JOIN hits USING (query_id)"
         ),
         "spatial_join": _tagn(
-            [(join_sql, "plain"), (join_sql, "salted"), (join_sql, "bucketed"),
-             (octagon_join_sql, "octagon")]
+            [(join_sql, "plain"), (join_sql, "salted"), (join_sql, "adaptive"),
+             (join_sql, "bucketed"), (octagon_join_sql, "octagon")]
         ),
         "spatial_knn": _tag2(knn_sql, "window", knn_sql, "kernel"),
         "spatial_knn_join": _tagn(
@@ -1316,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
                 (pip_sql_tpl.format(gt=">=", lt="<="), "closed"),
                 (pip_sql_tpl.format(gt=">", lt="<"), "open"),
                 (pip_polygon_sql, "polygon"),
+                (pip_polygon_sql, "polygon_kernel"),
             ],
             tagcol="mode",
         ),
@@ -1368,7 +1416,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM({_BURN_TERM}) AS BIGINT) AS coverage_units "
             f"FROM gxy GROUP BY cx * {GRID.n} + cy) "
             "SELECT ts.cell, ts.n_docs, ts.mbr_min_x, ts.mbr_min_y, "
-            "ts.mbr_max_x, ts.mbr_max_y, rz.coverage_units "
+            "ts.mbr_max_x, ts.mbr_max_y, rz.coverage_units, "
+            "rz.coverage_units AS stream_coverage_units "
             "FROM ts JOIN rz USING (cell)"
         ),
         "tiles_pyramid": _tagn(

@@ -75,6 +75,28 @@ def _jvm_control(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _code_rev() -> str:
+    """Identity of the current code state: HEAD sha + a hash of the
+    working-tree diff — attempts merge only when the engine is
+    byte-identical."""
+    import hashlib
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
+        ).stdout.strip()
+        diff = subprocess.run(
+            ["git", "diff", "HEAD", "--", "*.py"], cwd=root, capture_output=True, text=True
+        ).stdout
+    except OSError:
+        return "nogit"
+    if not diff:
+        return head
+    return f"{head}+{hashlib.sha256(diff.encode()).hexdigest()[:12]}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -90,6 +112,7 @@ def main() -> None:
     qmap = entrymod.bench_queries()
     headline = [
         "spatial_join_salted",
+        "spatial_join_adaptive",
         "spatial_join_bucketed",
         "spatial_join_octagon",
         "spatial_range",
@@ -162,7 +185,8 @@ def main() -> None:
     # throttle phase (multi-minute, BENCH/BASELINE.md) — add passes
     # (up to MAX_RUNS) until one starts unthrottled, so the per-query
     # min has at least one clean pass behind it.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # clamp: n_runs=0 would index empty control lists in the loop guard
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     max_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
     timings: dict[str, float] = {name: float("inf") for name in headline}
     rows: dict[str, int] = {}
@@ -195,6 +219,42 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {k: round(v, 3) for k, v in timings.items()}
 
+    # MIN-OVER-ATTEMPTS (VERDICT r4 #5): per-query walls in the published
+    # detail are min over ALL bench attempts at the SAME code state, not
+    # just this invocation — a single-attempt VM stall on one query can
+    # no longer masquerade as a plan regression in round-over-round
+    # diffs.  Attempts are keyed by git HEAD + working-tree diff hash, so
+    # a code change invalidates the merge set automatically.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    attempts_path = os.path.join(bench_dir, "attempts.jsonl")
+    code_rev = _code_rev()
+    this_attempt = dict(timings)
+    merged_from = 1
+    try:
+        if os.path.exists(attempts_path):
+            with open(attempts_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("code_rev") != code_rev or rec.get("sf") != sf:
+                        continue
+                    if rec.get("cpus") != cpus:
+                        continue
+                    merged_from += 1
+                    for k, v in rec.get("queries", {}).items():
+                        if k in timings:
+                            timings[k] = min(timings[k], v)
+        with open(attempts_path, "a") as f:
+            f.write(json.dumps({
+                "code_rev": code_rev, "sf": sf, "cpus": cpus,
+                "queries": this_attempt, "rows": rows,
+                "cpu_controls": controls, "jvm_controls": jvm_controls,
+            }) + "\n")
+    except OSError:
+        pass
+
     # BASELINE.json metric: join + tile-assignment throughput, docs/sec
     # (output-side rows of the join+tiling job over its end-to-end wall)
     join_tiles_wall = timings["spatial_join_salted"] + timings["tiles_cover"]
@@ -207,6 +267,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows": rows,
         "join_tiling_docs_per_sec": round(join_tiles_rows / max(join_tiles_wall, 1e-9), 1),
+        # noise-robust detail: per-query mins merged over every attempt
+        # at this exact code state (BENCH/attempts.jsonl); the raw
+        # single-invocation walls ride along for protocol-matched
+        # cross-round comparisons (ADVICE r4)
+        "attempts_merged": merged_from,
+        "queries_this_attempt": this_attempt,
         "cpus": cpus,
         "spark_version": spark.version,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),

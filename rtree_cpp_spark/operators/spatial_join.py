@@ -164,6 +164,134 @@ def distance_join(
     )
 
 
+def spatial_join_adaptive(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    hot_threshold: int = 10_000,
+    levels_finer: int = 2,
+    sample_fraction: float = 1.0,
+    keep_cell: bool = False,
+) -> DataFrame:
+    """Cell join with MIXED-RESOLUTION adaptive cells: coarse cells whose
+    A-side candidate count exceeds ``hot_threshold`` are subdivided
+    ``levels_finer`` levels finer, and candidates inside them meet at the
+    fine resolution instead.
+
+    This is the structural skew defense the reference's STR packing gets
+    by construction — leaf extent adapts to local density (the sqrt-slab
+    + cap-64 rule, RTreeBulkLoad.cpp:29-60): where salting merely
+    RE-SHARDS a hot cell's nA x nB candidate cross-product over more
+    tasks, subdivision SHRINKS it — locally-uniform data inside a hot
+    cell drops to ~(nA x nB) / 4^levels_finer candidate pairs, because
+    pairs that never share a fine cell are never generated at all
+    (measured: scripts/adaptive_scale_run.py, BENCH/adaptive_scale.json).
+
+    Mechanics (all one shuffle, no distinct):
+      1. coarse cover-explode both sides (the plain-join candidate key);
+      2. census the A side per coarse cell (optionally on a seeded
+         sample, threshold scaled) -> broadcast hot-cell set;
+      3. rows in a hot coarse cell REPLACE the coarse key with the fine
+         cells of their cover CLIPPED to that coarse cell's children
+         (cell-prefix arithmetic: children of (cx, cy) at +k levels are
+         [cx<<k, (cx<<k)+2^k-1] x same for y); non-hot rows keep the
+         coarse key.  Fine keys live at ``OFFSET + fine_cell`` with
+         OFFSET = n^2 so the two key spaces never collide;
+      4. equi-join on the mixed key; exactly-once via the reference-point
+         rule evaluated AT THE ROW'S OWN RESOLUTION: a fine-keyed pair
+         survives iff its key is the fine cell of the reference point, a
+         coarse-keyed pair iff its key is the coarse cell of it.  A true
+         pair's reference cell is hot or not — exactly one branch can
+         ever match, so no pair is emitted twice across resolutions.
+
+    Output rows are identical to :func:`spatial_join` (pytest-asserted
+    on a skewed fixture); ``keep_cell`` returns the COARSE reference
+    cell, the same lineage key the other variants expose.
+    """
+    joined = _adaptive_candidates(
+        a_rects, b_rects, grid, hot_threshold, levels_finer, sample_fraction
+    )
+    fine = Grid(grid.level + levels_finer, grid.extent)
+    offset = grid.n * grid.n
+    rx = F.greatest(F.col("a_min_x"), F.col("b_min_x"))
+    ry = F.greatest(F.col("a_min_y"), F.col("b_min_y"))
+    ref_coarse = grid.cell_of_point_col(rx, ry)
+    ref_fine = F.lit(offset) + fine.cell_of_point_col(rx, ry)
+    keep = F.when(F.col("key") >= offset, F.col("key") == ref_fine).otherwise(
+        F.col("key") == ref_coarse
+    )
+    hit = intersects_col(
+        F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"),
+        F.col("b_min_x"), F.col("b_min_y"), F.col("b_max_x"), F.col("b_max_y"),
+    )
+    out_cols = ["a_doc_id", "b_doc_id"]
+    if keep_cell:
+        return joined.where(keep & hit).select(*out_cols, ref_coarse.alias("cell"))
+    return joined.where(keep & hit).select(*out_cols)
+
+
+def _adaptive_candidates(
+    a_rects: DataFrame,
+    b_rects: DataFrame,
+    grid: Grid,
+    hot_threshold: int,
+    levels_finer: int,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """The adaptive join's candidate stage (mixed-key equi-join, before
+    the exactly-once + exact-predicate refine) — exposed so tests and
+    scale runs can measure the candidate-pair REDUCTION subdivision buys
+    over salting (which re-shards but never shrinks this count)."""
+    if levels_finer < 1:
+        raise ValueError(f"levels_finer must be >= 1, got {levels_finer}")
+    fine = Grid(grid.level + levels_finer, grid.extent)
+    m = 1 << levels_finer  # fine cells per coarse cell per axis
+    offset = grid.n * grid.n  # fine keys start above every coarse id
+
+    a = _a_side(a_rects, grid)
+    census_src = (
+        a
+        if sample_fraction >= 1.0
+        else _a_side(a_rects.sample(fraction=sample_fraction, seed=42), grid)
+    )
+    hot = (
+        census_src.groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > hot_threshold * sample_fraction)
+        .select("cell", F.lit(True).alias("_hot"))
+    )
+
+    def rekey(df: DataFrame, p: str) -> DataFrame:
+        ccy = F.pmod(F.col("cell"), F.lit(grid.n))
+        ccx = ((F.col("cell") - ccy) / F.lit(grid.n)).cast("long")
+        fx0, fx1 = fine.cx_col(F.col(f"{p}min_x")), fine.cx_col(F.col(f"{p}max_x"))
+        fy0, fy1 = fine.cx_col(F.col(f"{p}min_y")), fine.cx_col(F.col(f"{p}max_y"))
+        # fine cover clipped to this coarse cell's children — non-empty
+        # by cover construction (the rect covers the coarse cell, and
+        # clamping is applied identically at both levels)
+        lo_x = F.greatest(fx0, ccx * m)
+        hi_x = F.least(fx1, ccx * m + F.lit(m - 1))
+        lo_y = F.greatest(fy0, ccy * m)
+        hi_y = F.least(fy1, ccy * m + F.lit(m - 1))
+        hot_flag = F.coalesce(F.col("_hot"), F.lit(False))
+        one = F.array(F.lit(-1).cast("long"))
+        return (
+            df.join(F.broadcast(hot), "cell", "left")
+            .withColumn("_fx", F.explode(F.when(hot_flag, F.sequence(lo_x, hi_x)).otherwise(one)))
+            .withColumn("_fy", F.explode(F.when(hot_flag, F.sequence(lo_y, hi_y)).otherwise(one)))
+            .withColumn(
+                "key",
+                F.when(
+                    F.coalesce(F.col("_hot"), F.lit(False)),
+                    F.lit(offset) + F.col("_fx") * F.lit(fine.n) + F.col("_fy"),
+                ).otherwise(F.col("cell")),
+            )
+            .drop("cell", "_hot", "_fx", "_fy")
+        )
+
+    return rekey(a, "a_").join(rekey(_b_side(b_rects, grid), "b_"), "key")
+
+
 def spatial_join_salted(
     a_rects: DataFrame,
     b_rects: DataFrame,

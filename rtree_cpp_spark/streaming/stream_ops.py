@@ -132,19 +132,32 @@ def run_stream_rasterize_once(
 ) -> None:
     """Streaming vector→raster burn-in: each micro-batch's docs are
     rasterized to per-cell coverage DELTAS (integer fixed-point units,
-    operators/tiles.rasterize) and appended; the raster band is the
-    running SUM of the deltas per cell.  The aggregation runs inside
+    operators/tiles.rasterize) and written under a ``batch_id=<id>``
+    partition with DYNAMIC partition overwrite; the raster band is the
+    SUM of the deltas per cell.  The aggregation runs inside
     ``foreachBatch`` — per-batch it's a plain batch groupBy, so the
     streaming query itself is STATELESS (no state store grows with the
-    stream) and exactly-once comes from the checkpoint + idempotent
-    delta folds (integer units commute and associate — the exact reason
-    rasterize uses fixed-point rather than double sums).  At 10^12 docs
-    this is the incremental tile-update path: a serving layer folds the
-    delta stream into the band with an idempotent merge."""
+    stream).  Exactly-once: the checkpoint makes batch ids stable across
+    restarts, and keying the sink partition on the batch id makes the
+    write IDEMPOTENT — a micro-batch replayed after a crash between the
+    data write and the checkpoint commit OVERWRITES its own partition
+    instead of appending a second copy of its deltas (a blind
+    mode('append') here would double-count on replay: integer
+    commutativity makes folds order-independent, not appends idempotent
+    — ADVICE r4).  At 10^12 docs this is the incremental tile-update
+    path: a serving layer folds the delta stream into the band with an
+    idempotent merge."""
     from rtree_cpp_spark.operators.tiles import rasterize
 
-    def _batch(bdf: DataFrame, _bid: int) -> None:
-        rasterize(rects_only(bdf), grid).write.mode("append").parquet(out_dir)
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        (
+            rasterize(rects_only(bdf), grid)
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     q = (
         stream_docs(spark, docs_dir)

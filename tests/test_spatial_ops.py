@@ -9,7 +9,11 @@ from oracle import brute
 from rtree_cpp_spark.functions.cells import Grid
 from rtree_cpp_spark.operators.knn import knn
 from rtree_cpp_spark.operators.range_query import range_count, range_query
-from rtree_cpp_spark.operators.spatial_join import spatial_join, spatial_join_salted
+from rtree_cpp_spark.operators.spatial_join import (
+    spatial_join,
+    spatial_join_adaptive,
+    spatial_join_salted,
+)
 from rtree_cpp_spark.operators.tiles import cover_tiles, primary_tiles
 from rtree_cpp_spark.sources import synth
 
@@ -70,6 +74,91 @@ def test_salted_join_equals_unsalted(spark, rects_a_df, rects_b_df, rects_a_pdf,
     salted = spatial_join_salted(rects_a_df, rects_b_df, grid, hot_threshold=5, n_salt=4)
     exp = brute.join_brute(rects_a_pdf, rects_b_pdf)
     assert_same_rows(salted, exp)
+
+
+@pytest.mark.parametrize("grid", GRIDS, ids=lambda g: f"level{g.level}")
+@pytest.mark.parametrize("levels_finer", [1, 2])
+def test_adaptive_join_equals_plain(
+    spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_pdf, grid, levels_finer
+):
+    # low threshold on the clustered fixture → many coarse cells actually
+    # subdivide; output must be bit-identical to the brute join anyway
+    got = spatial_join_adaptive(
+        rects_a_df, rects_b_df, grid, hot_threshold=3, levels_finer=levels_finer
+    )
+    exp = brute.join_brute(rects_a_pdf, rects_b_pdf)
+    assert_same_rows(got, exp)
+    gp = got.toPandas()
+    assert not gp.duplicated(["a_doc_id", "b_doc_id"]).any()
+
+
+def test_adaptive_join_sampled_census_and_keep_cell(
+    spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_pdf
+):
+    grid = Grid(6)
+    got = spatial_join_adaptive(
+        rects_a_df, rects_b_df, grid, hot_threshold=4, sample_fraction=0.5, keep_cell=True
+    )
+    gp = got.toPandas()
+    exp = brute.join_brute(rects_a_pdf, rects_b_pdf)
+    assert_same_rows(got.drop("cell"), exp)
+    # keep_cell returns the COARSE reference cell — same lineage contract
+    # as the other variants: recompute it from the pair's rects
+    a = rects_a_pdf.set_index("doc_id")
+    b = rects_b_pdf.set_index("doc_id")
+    import numpy as np
+
+    rx = np.maximum(
+        a.loc[gp["a_doc_id"], "min_x"].to_numpy(np.float64),
+        b.loc[gp["b_doc_id"], "min_x"].to_numpy(np.float64),
+    )
+    ry = np.maximum(
+        a.loc[gp["a_doc_id"], "min_y"].to_numpy(np.float64),
+        b.loc[gp["b_doc_id"], "min_y"].to_numpy(np.float64),
+    )
+    assert (gp["cell"].to_numpy() == grid.cell_of_point(rx, ry)).all()
+
+
+def test_adaptive_join_reduces_hot_cell_candidates(spark):
+    # one dense cluster inside a single coarse cell: subdivision must cut
+    # the candidate (pre-refine) pair count, not merely re-shard it
+    import numpy as np
+
+    from rtree_cpp_spark.operators.spatial_join import (
+        _a_side,
+        _adaptive_candidates,
+        _b_side,
+    )
+
+    rng = np.random.default_rng(7)
+    grid = Grid(3)  # 8x8 cells of 128 over [0,1024)^2
+    n = 400
+
+    def mk(prefix):
+        # points-as-tiny-rects clustered inside coarse cell (2, 2)
+        x = 256.0 + rng.random(n) * 120.0
+        y = 256.0 + rng.random(n) * 120.0
+        return pd.DataFrame(
+            {
+                "doc_id": [f"{prefix}{i}" for i in range(n)],
+                "min_x": x, "min_y": y, "max_x": x + 0.5, "max_y": y + 0.5,
+            }
+        )
+
+    a_pdf, b_pdf = mk("a"), mk("b")
+    a_df, b_df = spark.createDataFrame(a_pdf), spark.createDataFrame(b_pdf)
+    plain_cand = _a_side(a_df, grid).join(_b_side(b_df, grid), "cell").count()
+    assert plain_cand == n * n  # the whole cluster lands in one coarse cell
+    adaptive_cand = _adaptive_candidates(
+        a_df, b_df, grid, hot_threshold=50, levels_finer=2
+    ).count()
+    # 4^2 = 16-way subdivision of a locally-uniform cluster shrinks the
+    # cross-product structurally (loose 4x bound to stay flake-free) —
+    # salting would keep all n*n candidates and only re-shard them
+    assert adaptive_cand < plain_cand / 4
+    got = spatial_join_adaptive(a_df, b_df, grid, hot_threshold=50, levels_finer=2)
+    exp = brute.join_brute(a_pdf, b_pdf)
+    assert_same_rows(got, exp)
 
 
 @pytest.mark.parametrize("grid", GRIDS, ids=lambda g: f"level{g.level}")
@@ -527,6 +616,69 @@ def test_polygon_kernels_empty_and_disjoint(spark):
         schema="point_id string, x double, y double",
     )
     assert polygon_pip_join(empty_pts, a_df, grid, refine="kernel").count() == 0
+
+
+def test_polygon_degenerate_rings_fail_fast(spark):
+    """Rings with < 3 vertices (or mismatched xs/ys lengths) raise a
+    clear precondition error instead of a cryptic element_at failure
+    mid-plan (ADVICE r4)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from rtree_cpp_spark.operators.pip_join import polygon_join, polygon_pip_join
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["D0"], "xs": [[100.0, 200.0]], "ys": [[100.0, 100.0]]})
+    )
+    good = spark.createDataFrame(_random_convex_polys(5, seed=3, id_prefix="GG"))
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": ["P0"], "x": [150.0], "y": [100.0]})
+    )
+    grid = Grid(5)
+    for broken in (
+        lambda: polygon_pip_join(pts, bad, grid).count(),
+        lambda: polygon_join(bad, good, grid).count(),
+        lambda: polygon_join(good, bad, grid, refine="kernel").count(),
+    ):
+        with pytest.raises((Py4JJavaError, PythonException, Exception)) as ei:
+            broken()
+        assert "3 vertices" in str(ei.value)
+
+
+def test_polygon_kernel_accepts_nonstring_ids(spark):
+    """refine='kernel' derives its output schema from the input plan, so
+    integer doc ids work identically in both refine modes (ADVICE r4:
+    the old hardcoded string schema made the modes asymmetric)."""
+    from rtree_cpp_spark.operators.pip_join import polygon_join, polygon_pip_join
+
+    apdf = _random_convex_polys(30, seed=51, id_prefix="X")
+    bpdf = _random_convex_polys(25, seed=53, id_prefix="X")
+    apdf["doc_id"] = np.arange(len(apdf), dtype=np.int64)
+    bpdf["doc_id"] = np.arange(len(bpdf), dtype=np.int64)
+    grid = Grid(5)
+    a_df, b_df = spark.createDataFrame(apdf), spark.createDataFrame(bpdf)
+    expr = polygon_join(a_df, b_df, grid).toPandas()
+    kern = polygon_join(a_df, b_df, grid, refine="kernel").toPandas()
+    key = ["a_doc_id", "b_doc_id"]
+    pd.testing.assert_frame_equal(
+        expr.sort_values(key).reset_index(drop=True),
+        kern.sort_values(key).reset_index(drop=True),
+    )
+    assert len(expr) > 0
+    rng = np.random.RandomState(57)
+    pts = pd.DataFrame({
+        "point_id": rng.permutation(np.arange(100, dtype=np.int64)),
+        "x": rng.uniform(50, 950, size=100),
+        "y": rng.uniform(50, 950, size=100),
+    })
+    pts_df = spark.createDataFrame(pts)
+    pexpr = polygon_pip_join(pts_df, a_df, grid).toPandas()
+    pkern = polygon_pip_join(pts_df, a_df, grid, refine="kernel").toPandas()
+    pkey = ["point_id", "doc_id"]
+    pd.testing.assert_frame_equal(
+        pexpr.sort_values(pkey).reset_index(drop=True),
+        pkern.sort_values(pkey).reset_index(drop=True),
+    )
 
 
 def test_polygon_join_salted_equals_unsalted(spark):

@@ -73,6 +73,32 @@ def test_stream_rasterize_matches_batch(spark, docs_a_df, tmp_path):
     n_rows = spark.read.parquet(out).count()
     run_stream_rasterize_once(spark, docs_dir, out, ckpt, grid)
     assert spark.read.parquet(out).count() == n_rows
+    # crash-replay window: re-writing a batch's deltas through the same
+    # sink recipe (same batch_id, dynamic partition overwrite) REPLACES
+    # the partition instead of appending — the fold cannot double-count
+    # (ADVICE r4: blind append here was only at-least-once)
+    replay = (
+        rasterize(
+            rects_only(spark.createDataFrame(pdf.iloc[:half], schema=docs_a_df.schema)),
+            grid,
+        )
+        .withColumn("batch_id", F.lit(0))
+    )
+    (
+        replay.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    got2 = (
+        spark.read.parquet(out)
+        .groupBy("cell")
+        .agg(F.sum("coverage_units").alias("coverage_units"))
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, exp)
 
 
 def test_stream_events_matches_batch(spark, tmp_path):
