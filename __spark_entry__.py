@@ -216,6 +216,19 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GRID,
             refine="kernel",
         ),
+        # polygon join with mixed-resolution adaptive cells — hot coarse
+        # cells subdivide 2 finer and the SAT refine sees the SHRUNKEN
+        # candidate set (the skew defense that pays when each candidate
+        # costs a polygon test; BENCH/polygon_skew.json)
+        "spatial_join_octagon_adaptive": lambda s, d: polygon_join(
+            octagons_from_rects(rects.rects_a(s, d)),
+            octagons_from_rects(rects.rects_b(s, d)),
+            GRID,
+            refine="kernel",
+            hot_threshold=2000,
+            levels_finer=2,
+            sample_fraction=0.25,
+        ),
         "layout_occupancy": lambda s, d: occupancy_stats(rects.rects_a(s, d)),
         "interleaved_extract": _interleaved_extract,
         "interleaved_join_spans": _interleaved_join_spans,
@@ -449,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ("spatial_join_adaptive", "adaptive"),
                 ("spatial_join_bucketed", "bucketed"),
                 ("spatial_join_octagon", "octagon"),
+                ("spatial_join_octagon_adaptive", "octagon_adaptive"),
             ],
         ),
         "spatial_pip": _tagged_union(
@@ -1329,7 +1343,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spatial_join": _tagn(
             [(join_sql, "plain"), (join_sql, "salted"), (join_sql, "adaptive"),
-             (join_sql, "bucketed"), (octagon_join_sql, "octagon")]
+             (join_sql, "bucketed"), (octagon_join_sql, "octagon"),
+             (octagon_join_sql, "octagon_adaptive")]
         ),
         "spatial_knn": _tag2(knn_sql, "window", knn_sql, "kernel"),
         "spatial_knn_join": _tagn(

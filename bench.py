@@ -115,6 +115,7 @@ def main() -> None:
         "spatial_join_adaptive",
         "spatial_join_bucketed",
         "spatial_join_octagon",
+        "spatial_join_octagon_adaptive",
         "spatial_range",
         "spatial_knn",
         "spatial_knn_kernel",

@@ -341,6 +341,7 @@ def polygon_join(
     refine: str = "expr",
     hot_threshold: int | None = None,
     n_salt: int = 16,
+    levels_finer: int | None = None,
     sample_fraction: float = 1.0,
     keep_cell: bool = False,
 ) -> DataFrame:
@@ -369,17 +370,30 @@ def polygon_join(
     dominate (measured 8.6x vs the rect join for 'expr' at 10^6 rows;
     scripts/polygon_scale_run.py tracks both).
 
-    ``hot_threshold`` enables the same explicit hot-cell salting as the
-    rect join (spatial_join.spatial_join_salted: census over a seeded
-    ``sample_fraction``, A rows hash into ``n_salt`` buckets, B rows fan
-    out) — salting only re-partitions the same candidate pairs, so
-    output rows are identical (pytest-asserted on a skewed fixture;
-    measured at 10^6-row clustered scale in BENCH/polygon_skew.json).
+    ``hot_threshold`` enables the rect join's hot-cell skew defenses
+    (census over a seeded ``sample_fraction``):
+
+    - ``levels_finer=None`` (default): explicit SALTING — A rows hash
+      into ``n_salt`` buckets, B rows fan out.  Re-partitions the same
+      candidate pairs, so output rows are identical (pytest-asserted on
+      a skewed fixture; measured at 10^6-row clustered scale in
+      BENCH/polygon_skew.json).
+    - ``levels_finer=k``: MIXED-RESOLUTION ADAPTIVE cells — hot coarse
+      cells subdivide ``k`` levels finer and candidates inside them meet
+      at the fine resolution (spatial_join.adaptive_rekey), so pairs
+      that never share a fine cell are never generated: the candidate
+      cross-product SHRINKS structurally instead of being re-sharded.
+      Exactly-once via the bbox reference-point rule evaluated at each
+      row's own resolution (spatial_join.adaptive_keep_col).  This is
+      the skew defense that actually pays for polygons, where each
+      surviving candidate costs a SAT refine (BENCH/polygon_skew.json).
 
     Precondition (both modes, checked in-plan): rings have >= 3
     vertices and ``len(xs) == len(ys)``; degenerate rings fail fast."""
     if refine not in ("expr", "kernel"):
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
+    if levels_finer is not None and hot_threshold is None:
+        raise ValueError("levels_finer requires hot_threshold (the hot-cell census)")
     polys_a = _with_ring_check(polys_a)
     polys_b = _with_ring_check(polys_b)
 
@@ -404,20 +418,32 @@ def polygon_join(
     from rtree_cpp_spark.operators.cover import ref_point_cell_col
 
     pa, pb = prep(polys_a, "a_"), prep(polys_b, "b_")
-    if hot_threshold is None:
-        joined = pa.join(pb, "cell")
-    else:
+    rx = F.greatest(F.col("a_min_x"), F.col("b_min_x"))
+    ry = F.greatest(F.col("a_min_y"), F.col("b_min_y"))
+    if hot_threshold is not None:
         census_src = (
             pa
             if sample_fraction >= 1.0
             else prep(polys_a.sample(fraction=sample_fraction, seed=42), "a_")
         )
-        hot = (
+        census = (
             census_src.groupBy("cell")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_threshold * sample_fraction)
-            .select("cell", F.lit(n_salt).alias("_n_salt"))
         )
+    if hot_threshold is not None and levels_finer is not None:
+        from rtree_cpp_spark.operators.spatial_join import (
+            adaptive_keep_col,
+            adaptive_rekey,
+        )
+
+        hot = census.select("cell", F.lit(True).alias("_hot"))
+        joined = adaptive_rekey(pa, "a_", grid, hot, levels_finer).join(
+            adaptive_rekey(pb, "b_", grid, hot, levels_finer), "key"
+        )
+        keep = adaptive_keep_col(grid, levels_finer, rx, ry)
+    elif hot_threshold is not None:
+        hot = census.select("cell", F.lit(n_salt).alias("_n_salt"))
         sa = pa.join(F.broadcast(hot), "cell", "left").withColumn(
             "salt",
             F.when(F.col("_n_salt").isNull(), F.lit(0)).otherwise(
@@ -437,14 +463,23 @@ def polygon_join(
             .drop("_n_salt")
         )
         joined = sa.join(sb, ["cell", "salt"])
-    ref_cell = ref_point_cell_col(
-        grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
-    )
+        keep = F.col("cell") == ref_point_cell_col(
+            grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
+        )
+    else:
+        joined = pa.join(pb, "cell")
+        keep = F.col("cell") == ref_point_cell_col(
+            grid, F.col("a_min_x"), F.col("a_min_y"), F.col("b_min_x"), F.col("b_min_y")
+        )
     bbox_hit = (
         (F.col("a_min_x") <= F.col("b_max_x")) & (F.col("b_min_x") <= F.col("a_max_x"))
         & (F.col("a_min_y") <= F.col("b_max_y")) & (F.col("b_min_y") <= F.col("a_max_y"))
     )
-    cand = joined.where((F.col("cell") == ref_cell) & bbox_hit)
+    cand = joined.where(keep & bbox_hit)
+    if keep_cell:
+        # the COARSE reference cell in every mode — the adaptive path's
+        # mixed "key" is an internal join artifact, not a lineage key
+        cand = cand.withColumn("cell", grid.cell_of_point_col(rx, ry))
     out_cols = ["a_doc_id", "b_doc_id"] + (["cell"] if keep_cell else [])
     if refine == "expr":
         sep = _separated_by(

@@ -211,15 +211,10 @@ def spatial_join_adaptive(
     joined = _adaptive_candidates(
         a_rects, b_rects, grid, hot_threshold, levels_finer, sample_fraction
     )
-    fine = Grid(grid.level + levels_finer, grid.extent)
-    offset = grid.n * grid.n
     rx = F.greatest(F.col("a_min_x"), F.col("b_min_x"))
     ry = F.greatest(F.col("a_min_y"), F.col("b_min_y"))
     ref_coarse = grid.cell_of_point_col(rx, ry)
-    ref_fine = F.lit(offset) + fine.cell_of_point_col(rx, ry)
-    keep = F.when(F.col("key") >= offset, F.col("key") == ref_fine).otherwise(
-        F.col("key") == ref_coarse
-    )
+    keep = adaptive_keep_col(grid, levels_finer, rx, ry)
     hit = intersects_col(
         F.col("a_min_x"), F.col("a_min_y"), F.col("a_max_x"), F.col("a_max_y"),
         F.col("b_min_x"), F.col("b_min_y"), F.col("b_max_x"), F.col("b_max_y"),
@@ -228,6 +223,63 @@ def spatial_join_adaptive(
     if keep_cell:
         return joined.where(keep & hit).select(*out_cols, ref_coarse.alias("cell"))
     return joined.where(keep & hit).select(*out_cols)
+
+
+def adaptive_rekey(
+    df: DataFrame, p: str, grid: Grid, hot: DataFrame, levels_finer: int
+) -> DataFrame:
+    """Mixed-resolution rekey shared by the rect and polygon adaptive
+    joins: rows whose coarse ``cell`` is in the broadcast ``hot`` set
+    (columns ``cell, _hot=true``) REPLACE it with the fine cells of
+    their bbox cover CLIPPED to that coarse cell's children (cell-prefix
+    arithmetic); every other row keeps the coarse key.  Fine keys live
+    at ``n^2 + fine_cell`` so the two key spaces never collide.  ``p``
+    is the bbox column prefix (``a_``/``b_``)."""
+    if levels_finer < 1:
+        raise ValueError(f"levels_finer must be >= 1, got {levels_finer}")
+    fine = Grid(grid.level + levels_finer, grid.extent)
+    m = 1 << levels_finer  # fine cells per coarse cell per axis
+    offset = grid.n * grid.n  # fine keys start above every coarse id
+    ccy = F.pmod(F.col("cell"), F.lit(grid.n))
+    ccx = ((F.col("cell") - ccy) / F.lit(grid.n)).cast("long")
+    fx0, fx1 = fine.cx_col(F.col(f"{p}min_x")), fine.cx_col(F.col(f"{p}max_x"))
+    fy0, fy1 = fine.cx_col(F.col(f"{p}min_y")), fine.cx_col(F.col(f"{p}max_y"))
+    # fine cover clipped to this coarse cell's children — non-empty
+    # by cover construction (the rect covers the coarse cell, and
+    # clamping is applied identically at both levels)
+    lo_x = F.greatest(fx0, ccx * m)
+    hi_x = F.least(fx1, ccx * m + F.lit(m - 1))
+    lo_y = F.greatest(fy0, ccy * m)
+    hi_y = F.least(fy1, ccy * m + F.lit(m - 1))
+    hot_flag = F.coalesce(F.col("_hot"), F.lit(False))
+    one = F.array(F.lit(-1).cast("long"))
+    return (
+        df.join(F.broadcast(hot), "cell", "left")
+        .withColumn("_fx", F.explode(F.when(hot_flag, F.sequence(lo_x, hi_x)).otherwise(one)))
+        .withColumn("_fy", F.explode(F.when(hot_flag, F.sequence(lo_y, hi_y)).otherwise(one)))
+        .withColumn(
+            "key",
+            F.when(
+                F.coalesce(F.col("_hot"), F.lit(False)),
+                F.lit(offset) + F.col("_fx") * F.lit(fine.n) + F.col("_fy"),
+            ).otherwise(F.col("cell")),
+        )
+        .drop("cell", "_hot", "_fx", "_fy")
+    )
+
+
+def adaptive_keep_col(grid: Grid, levels_finer: int, rx, ry):
+    """Exactly-once rule for mixed-resolution candidates: a pair
+    survives iff its key is the cell of its reference point (rx, ry)
+    evaluated AT THE ROW'S OWN RESOLUTION.  A true pair's reference
+    cell is hot or not — exactly one branch can ever match, so no pair
+    is emitted twice across resolutions."""
+    fine = Grid(grid.level + levels_finer, grid.extent)
+    offset = grid.n * grid.n
+    return F.when(
+        F.col("key") >= offset,
+        F.col("key") == F.lit(offset) + fine.cell_of_point_col(rx, ry),
+    ).otherwise(F.col("key") == grid.cell_of_point_col(rx, ry))
 
 
 def _adaptive_candidates(
@@ -242,12 +294,6 @@ def _adaptive_candidates(
     the exactly-once + exact-predicate refine) — exposed so tests and
     scale runs can measure the candidate-pair REDUCTION subdivision buys
     over salting (which re-shards but never shrinks this count)."""
-    if levels_finer < 1:
-        raise ValueError(f"levels_finer must be >= 1, got {levels_finer}")
-    fine = Grid(grid.level + levels_finer, grid.extent)
-    m = 1 << levels_finer  # fine cells per coarse cell per axis
-    offset = grid.n * grid.n  # fine keys start above every coarse id
-
     a = _a_side(a_rects, grid)
     census_src = (
         a
@@ -260,36 +306,9 @@ def _adaptive_candidates(
         .where(F.col("_n") > hot_threshold * sample_fraction)
         .select("cell", F.lit(True).alias("_hot"))
     )
-
-    def rekey(df: DataFrame, p: str) -> DataFrame:
-        ccy = F.pmod(F.col("cell"), F.lit(grid.n))
-        ccx = ((F.col("cell") - ccy) / F.lit(grid.n)).cast("long")
-        fx0, fx1 = fine.cx_col(F.col(f"{p}min_x")), fine.cx_col(F.col(f"{p}max_x"))
-        fy0, fy1 = fine.cx_col(F.col(f"{p}min_y")), fine.cx_col(F.col(f"{p}max_y"))
-        # fine cover clipped to this coarse cell's children — non-empty
-        # by cover construction (the rect covers the coarse cell, and
-        # clamping is applied identically at both levels)
-        lo_x = F.greatest(fx0, ccx * m)
-        hi_x = F.least(fx1, ccx * m + F.lit(m - 1))
-        lo_y = F.greatest(fy0, ccy * m)
-        hi_y = F.least(fy1, ccy * m + F.lit(m - 1))
-        hot_flag = F.coalesce(F.col("_hot"), F.lit(False))
-        one = F.array(F.lit(-1).cast("long"))
-        return (
-            df.join(F.broadcast(hot), "cell", "left")
-            .withColumn("_fx", F.explode(F.when(hot_flag, F.sequence(lo_x, hi_x)).otherwise(one)))
-            .withColumn("_fy", F.explode(F.when(hot_flag, F.sequence(lo_y, hi_y)).otherwise(one)))
-            .withColumn(
-                "key",
-                F.when(
-                    F.coalesce(F.col("_hot"), F.lit(False)),
-                    F.lit(offset) + F.col("_fx") * F.lit(fine.n) + F.col("_fy"),
-                ).otherwise(F.col("cell")),
-            )
-            .drop("cell", "_hot", "_fx", "_fy")
-        )
-
-    return rekey(a, "a_").join(rekey(_b_side(b_rects, grid), "b_"), "key")
+    return adaptive_rekey(a, "a_", grid, hot, levels_finer).join(
+        adaptive_rekey(_b_side(b_rects, grid), "b_", grid, hot, levels_finer), "key"
+    )
 
 
 def spatial_join_salted(

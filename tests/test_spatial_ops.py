@@ -701,6 +701,41 @@ def test_polygon_join_salted_equals_unsalted(spark):
     assert len(plain) > 0
 
 
+def test_polygon_join_adaptive_equals_plain(spark):
+    """Mixed-resolution adaptive cells on the polygon join: an
+    aggressive threshold subdivides essentially every populated cell,
+    yet rows are identical to the plain join in BOTH refine modes
+    (exactly-once at the row's own resolution), and keep_cell returns
+    the same coarse reference cell as the plain variant."""
+    from rtree_cpp_spark.operators.pip_join import polygon_join
+
+    apdf = _random_convex_polys(60, seed=41, id_prefix="DA")
+    bpdf = _random_convex_polys(50, seed=43, id_prefix="DB")
+    grid = Grid(5)
+    a_df, b_df = spark.createDataFrame(apdf), spark.createDataFrame(bpdf)
+    key = ["a_doc_id", "b_doc_id"]
+    plain = polygon_join(a_df, b_df, grid, keep_cell=True).toPandas()
+    assert len(plain) > 0
+    for refine, lf in (("expr", 1), ("kernel", 2)):
+        adapt = polygon_join(
+            a_df, b_df, grid, refine=refine,
+            hot_threshold=1, levels_finer=lf, keep_cell=True,
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            plain.sort_values(key).reset_index(drop=True),
+            adapt.sort_values(key).reset_index(drop=True),
+        )
+
+
+def test_polygon_join_adaptive_requires_threshold(spark):
+    from rtree_cpp_spark.operators.pip_join import polygon_join
+
+    apdf = _random_convex_polys(5, seed=41, id_prefix="DA")
+    a_df = spark.createDataFrame(apdf)
+    with pytest.raises(ValueError, match="hot_threshold"):
+        polygon_join(a_df, a_df, Grid(5), levels_finer=2)
+
+
 def test_polygon_refine_kernel_equals_expr(spark):
     """The Arrow-kernel refine returns EXACTLY the expr variant's rows
     (same IEEE cross products, different execution), on general convex
