@@ -48,7 +48,7 @@ def _with_ring_check(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame
 
 
 def _id_schema(df: DataFrame, pairs: list[tuple[str, str]], extra: str = "") -> str:
-    """mapInPandas output schema with id column TYPES taken from the
+    """mapInArrow output schema with id column TYPES taken from the
     input plan (not hardcoded strings), so refine='kernel' accepts
     exactly the same inputs as refine='expr' — non-string doc ids
     included.  ``pairs`` maps (input_col, output_col)."""
@@ -143,11 +143,12 @@ def polygon_pip_join(
     - ``'expr'`` (default): ``F.aggregate`` over the vertex arrays —
       zero Python, but Spark interprets higher-order functions per
       row, so the fold costs ~µs per bbox-surviving candidate;
-    - ``'kernel'``: Arrow-batched numpy (``mapInPandas``) — vectorizes
-      the cross products across the whole candidate batch (ragged
-      vertex lists stacked per distinct count); the scale path when
-      bbox survivors are a large share of candidates.  Output id types
-      are derived from the input plan, so both refine modes accept the
+    - ``'kernel'``: Arrow-native numpy (``mapInArrow``) — vectorizes
+      the cross products across the whole candidate batch, gathering
+      ragged vertex lists straight from the Arrow list buffers (no
+      pandas object materialization); the scale path when bbox
+      survivors are a large share of candidates.  Output id types are
+      derived from the input plan, so both refine modes accept the
       same inputs.
 
     Precondition (both modes, checked in-plan): every ring has >= 3
@@ -200,60 +201,70 @@ def polygon_pip_join(
     out = cand.select(
         "point_id", "x", "y", F.col(id_col).alias("_id"), "xs", "ys"
     )
-    out = out.mapInPandas(
+    out = out.mapInArrow(
         _pip_kernel,
         schema=_id_schema(out, [("point_id", "point_id"), ("_id", "_id")]),
     )
     return out.select("point_id", F.col("_id").alias(id_col))
 
 
-def _stack_rows(series, idx):
-    """(k, n) float64 matrix from equal-length vertex lists at ``idx`` —
-    one C-level np.asarray over the list-of-arrays, no per-row lambda
-    (the stacking was a measurable share of kernel wall at 10^6 rows)."""
+def _ragged(col):
+    """(lens, starts, flat) numpy views of a pyarrow ListArray.  Offsets
+    are ABSOLUTE into ``.values`` even on sliced batches (probed on this
+    pyarrow), so per-length stacking is one fancy-index gather over the
+    flat buffer — zero per-row Python, zero pandas object churn (the
+    list→object-Series→np.asarray route the first kernel used was a
+    measurable share of kernel wall at 10^6 rows)."""
     import numpy as np
 
-    return np.asarray(series.iloc[idx].to_list(), dtype=np.float64)
+    offs = col.offsets.to_numpy()
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return np.diff(offs), offs[:-1].astype(np.int64), flat
 
 
-def _group_rows_by_len(series):
-    """(lengths array, {n: (row_idx, stacked (k, n) float64 matrix)})
-    — ragged vertex lists stacked per distinct vertex count so the
-    kernel vectorizes fully (octagon corpora are ONE group)."""
+def _gather(starts, n, flat):
+    """(k, n) float64 matrix: rows of length ``n`` starting at
+    ``starts`` in the flat Arrow value buffer."""
     import numpy as np
 
-    lens = series.map(len).to_numpy()
-    groups = {}
-    for n in np.unique(lens):
-        idx = np.nonzero(lens == n)[0]
-        groups[int(n)] = (idx, _stack_rows(series, idx))
-    return lens, groups
+    return flat[starts[:, None] + np.arange(n)[None, :]]
 
 
 def _pip_kernel(batches):
-    """Arrow-batch PIP refine: vectorized all-edges cross products over
-    candidate rows (point_id, x, y, _id, xs, ys) → survivors.  Same
-    IEEE expression per edge as the expr variant — results identical."""
+    """Arrow-native PIP refine (``mapInArrow``): vectorized all-edges
+    cross products over candidate rows (point_id, x, y, _id, xs, ys)
+    → survivors.  Vertex lists are gathered straight from the Arrow
+    list buffers (offsets + flat float64), grouped per distinct vertex
+    count.  Same IEEE expression per edge as the expr variant —
+    results identical."""
     import numpy as np
+    import pyarrow as pa
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            yield pdf[["point_id", "_id"]]
+    out_names = ["point_id", "_id"]
+    for batch in batches:
+        col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+        if batch.num_rows == 0:
+            yield pa.RecordBatch.from_arrays(
+                [col[n] for n in out_names], names=out_names)
             continue
-        px = pdf["x"].to_numpy(dtype=np.float64)
-        py = pdf["y"].to_numpy(dtype=np.float64)
-        keep = np.zeros(len(pdf), dtype=bool)
-        _, groups = _group_rows_by_len(pdf["xs"])
-        _, groups_y = _group_rows_by_len(pdf["ys"])
-        for n, (idx, vx) in groups.items():
-            vy = groups_y[n][1]
+        px = col["x"].to_numpy(zero_copy_only=False)
+        py = col["y"].to_numpy(zero_copy_only=False)
+        lens, starts_x, fx = _ragged(col["xs"])
+        _, starts_y, fy = _ragged(col["ys"])
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for n in np.unique(lens):
+            idx = np.nonzero(lens == n)[0]
+            vx = _gather(starts_x[idx], int(n), fx)
+            vy = _gather(starts_y[idx], int(n), fy)
             vxj, vyj = np.roll(vx, -1, axis=1), np.roll(vy, -1, axis=1)
             cross = (
                 (vxj - vx) * (py[idx, None] - vy)
                 - (vyj - vy) * (px[idx, None] - vx)
             )
             keep[idx] = (cross >= 0.0).all(axis=1)
-        yield pdf.loc[keep, ["point_id", "_id"]]
+        mask = pa.array(keep)
+        yield pa.RecordBatch.from_arrays(
+            [col[n].filter(mask) for n in out_names], names=out_names)
 
 
 def _sat_separated(avx, avy, bvx, bvy):
@@ -288,27 +299,39 @@ def _sat_separated(avx, avy, bvx, bvy):
 
 
 def _sat_kernel(batches):
-    """Arrow-batch SAT refine over candidate pairs with both rings'
-    vertex arrays; separated ⟺ some edge of either ring has all
-    other-ring vertices strictly outside (cross < 0)."""
+    """Arrow-native SAT refine (``mapInArrow``) over candidate pairs
+    with both rings' vertex arrays; separated ⟺ some edge of either
+    ring has all other-ring vertices strictly outside (cross < 0).
+    Ragged vertex lists come straight from the Arrow list buffers
+    (_ragged/_gather) grouped per (nA, nB)."""
     import numpy as np
+    import pyarrow as pa
 
     _VERT_COLS = ("a_xs", "a_ys", "b_xs", "b_ys")
-    for pdf in batches:
-        out_cols = [c for c in pdf.columns if c not in _VERT_COLS]
-        if len(pdf) == 0:
-            yield pdf[out_cols]
+    for batch in batches:
+        col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+        out_names = [n for n in batch.schema.names if n not in _VERT_COLS]
+        if batch.num_rows == 0:
+            yield pa.RecordBatch.from_arrays(
+                [col[n] for n in out_names], names=out_names)
             continue
-        lens_a = pdf["a_xs"].map(len).to_numpy()
-        lens_b = pdf["b_xs"].map(len).to_numpy()
-        keep = np.zeros(len(pdf), dtype=bool)
+        lens_a, st_ax, fax = _ragged(col["a_xs"])
+        _, st_ay, fay = _ragged(col["a_ys"])
+        lens_b, st_bx, fbx = _ragged(col["b_xs"])
+        _, st_by, fby = _ragged(col["b_ys"])
+        keep = np.zeros(batch.num_rows, dtype=bool)
         for na in np.unique(lens_a):
-            for nb in np.unique(lens_b[lens_a == na]):
-                idx = np.nonzero((lens_a == na) & (lens_b == nb))[0]
-                avx, avy = _stack_rows(pdf["a_xs"], idx), _stack_rows(pdf["a_ys"], idx)
-                bvx, bvy = _stack_rows(pdf["b_xs"], idx), _stack_rows(pdf["b_ys"], idx)
+            sel_a = lens_a == na
+            for nb in np.unique(lens_b[sel_a]):
+                idx = np.nonzero(sel_a & (lens_b == nb))[0]
+                avx = _gather(st_ax[idx], int(na), fax)
+                avy = _gather(st_ay[idx], int(na), fay)
+                bvx = _gather(st_bx[idx], int(nb), fbx)
+                bvy = _gather(st_by[idx], int(nb), fby)
                 keep[idx] = ~_sat_separated(avx, avy, bvx, bvy)
-        yield pdf.loc[keep, out_cols]
+        mask = pa.array(keep)
+        yield pa.RecordBatch.from_arrays(
+            [col[n].filter(mask) for n in out_names], names=out_names)
 
 
 def _separated_by(xs_p, ys_p, xs_q, ys_q):
@@ -365,10 +388,11 @@ def polygon_join(
     ``refine='expr'`` (default) evaluates the separating-axis test as
     nested exists/forall over the vertex arrays — JVM, no Python, but
     interpreted per candidate; ``refine='kernel'`` runs the identical
-    per-edge IEEE cross products as an Arrow-batched numpy kernel
-    (mapInPandas) — the scale path when bbox-overlapping candidates
-    dominate (measured 8.6x vs the rect join for 'expr' at 10^6 rows;
-    scripts/polygon_scale_run.py tracks both).
+    per-edge IEEE cross products as an Arrow-native numpy kernel
+    (mapInArrow over the raw list buffers) — the scale path when
+    bbox-overlapping candidates dominate (measured 8.6x vs the rect
+    join for 'expr' at 10^6 rows; scripts/polygon_scale_run.py tracks
+    both).
 
     ``hot_threshold`` enables the rect join's hot-cell skew defenses
     (census over a seeded ``sample_fraction``):
@@ -492,4 +516,4 @@ def polygon_join(
         [("a_doc_id", "a_doc_id"), ("b_doc_id", "b_doc_id")],
         extra=", cell bigint" if keep_cell else "",
     )
-    return kin.mapInPandas(_sat_kernel, schema=schema)
+    return kin.mapInArrow(_sat_kernel, schema=schema)
