@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from rtree_cpp_spark.functions.cells import Grid
 from rtree_cpp_spark.operators.cover import with_cover_cells
+from rtree_cpp_spark.plans.parallelism import fan_out
 
 
 def _with_ring_check(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame:
@@ -68,12 +69,16 @@ def pip_join(
     """
     if boundary not in ("closed", "open"):
         raise ValueError(f"boundary must be 'closed' or 'open', got {boundary!r}")
-    p = points.select(
+    # fan_out: the exact-predicate pipeline must not inherit a 1-split
+    # scan (single parquet row group = one task); no-op at real scale
+    p = fan_out(points).select(
         "point_id",
         F.col("x").cast("double").alias("x"),
         F.col("y").cast("double").alias("y"),
     ).withColumn("cell", grid.cell_of_point_col(F.col("x"), F.col("y")))
-    r = with_cover_cells(rects.select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid)
+    r = with_cover_cells(
+        fan_out(rects).select("doc_id", "min_x", "min_y", "max_x", "max_y"), grid
+    )
     if boundary == "closed":
         hit = (
             (F.col("x") >= F.col("min_x")) & (F.col("x") <= F.col("max_x"))
@@ -165,13 +170,18 @@ def polygon_pip_join(
             F.array_min("xs").alias("min_x"), F.array_min("ys").alias("min_y"),
             F.array_max("xs").alias("max_x"), F.array_max("ys").alias("max_y"),
         )
-    p = points.select(
+    # fan_out: PIP refine (expr fold or Arrow kernel) runs pre-shuffle
+    # on a broadcast-join pipeline — don't inherit a 1-split scan
+    p = fan_out(points).select(
         "point_id",
         F.col("x").cast("double").alias("x"),
         F.col("y").cast("double").alias("y"),
     ).withColumn("cell", grid.cell_of_point_col(F.col("x"), F.col("y")))
     g = with_cover_cells(
-        polygons.select(id_col, "xs", "ys", "min_x", "min_y", "max_x", "max_y"), grid
+        fan_out(polygons).select(
+            id_col, "xs", "ys", "min_x", "min_y", "max_x", "max_y"
+        ),
+        grid,
     )
     n = F.size(F.col("xs"))
     xs, ys = F.col("xs"), F.col("ys")
@@ -428,10 +438,17 @@ def polygon_join(
                 F.array_min("xs").alias("min_x"), F.array_min("ys").alias("min_y"),
                 F.array_max("xs").alias("max_x"), F.array_max("ys").alias("max_y"),
             )
+        # fan_out: the explode→join pipeline runs pre-shuffle when the
+        # cell join broadcasts — don't inherit a 1-split scan.  SLIM:
+        # the cell join carries ids + bboxes only; vertex arrays are
+        # re-attached by id AFTER the bbox filter, so the join's
+        # candidate blow-up (~40x the inputs at bench scale) never
+        # copies ring payloads (measured 7.6s → the rect join's 1.7s
+        # shape at sf0.1).
+        df = fan_out(df)
         return with_cover_cells(
             df.select(
                 F.col("doc_id").alias(f"{p}doc_id"),
-                F.col("xs").alias(f"{p}xs"), F.col("ys").alias(f"{p}ys"),
                 F.col("min_x").alias(f"{p}min_x"), F.col("min_y").alias(f"{p}min_y"),
                 F.col("max_x").alias(f"{p}max_x"), F.col("max_y").alias(f"{p}max_y"),
             ),
@@ -505,6 +522,26 @@ def polygon_join(
         # mixed "key" is an internal join artifact, not a lineage key
         cand = cand.withColumn("cell", grid.cell_of_point_col(rx, ry))
     out_cols = ["a_doc_id", "b_doc_id"] + (["cell"] if keep_cell else [])
+    # re-attach ring payloads by id for the bbox SURVIVORS only — two
+    # key joins over the (much smaller) surviving candidate set instead
+    # of copying both rings through every cell-join candidate
+    cand = (
+        cand.select(*out_cols)
+        .join(
+            polys_a.select(
+                F.col("doc_id").alias("a_doc_id"),
+                F.col("xs").alias("a_xs"), F.col("ys").alias("a_ys"),
+            ),
+            "a_doc_id",
+        )
+        .join(
+            polys_b.select(
+                F.col("doc_id").alias("b_doc_id"),
+                F.col("xs").alias("b_xs"), F.col("ys").alias("b_ys"),
+            ),
+            "b_doc_id",
+        )
+    )
     if refine == "expr":
         sep = _separated_by(
             F.col("a_xs"), F.col("a_ys"), F.col("b_xs"), F.col("b_ys")

@@ -32,9 +32,9 @@ def _rect_sql(table: str, key: str, prefix: str, seed: int) -> str:
     h1 = f"(({key} + {seed}) * {_K}) % 2147483648"
     h2 = f"(({key} + {seed + 7}) * {_K}) % 2147483648"
     hx = f"({h1}) % 4096"
-    hy = f"CAST(FLOOR(({h1}) / 4096.0) AS BIGINT) % 4096"
+    hy = f"CAST(FLOOR(({h1}) / 4096.0e0) AS BIGINT) % 4096"
     hw = f"({h2}) % 64"
-    hh = f"CAST(FLOOR(({h2}) / 64.0) AS BIGINT) % 64"
+    hh = f"CAST(FLOOR(({h2}) / 64.0e0) AS BIGINT) % 64"
     return (
         f"SELECT CONCAT('{prefix}', CAST({key} AS STRING)) AS doc_id, "
         f"({hx}) * 0.25e0 AS min_x, "
