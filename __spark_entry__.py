@@ -197,15 +197,19 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "spatial_pip": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "closed"),
         "spatial_pip_strict": lambda s, d: pip_join(_knn_points(s, d), rects.rects_a(s, d), GRID, "open"),
+        # validate=False: octagons_from_rects rings are plan-computed
+        # with statically valid arity; the Arrow kernels still assert
+        # ring arity from the list offsets (operators/pip_join.py)
         "spatial_pip_polygon": lambda s, d: polygon_pip_join(
-            _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID
+            _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID,
+            validate=False,
         ),
         # the Arrow-kernel refine is the declared scale path
         # (BENCH/polygon_scale.json) — gated as its own mode so BOTH fold
         # implementations are value-verified by the driver
         "spatial_pip_polygon_kernel": lambda s, d: polygon_pip_join(
             _knn_points(s, d), octagons_from_rects(rects.rects_a(s, d)), GRID,
-            refine="kernel",
+            refine="kernel", validate=False,
         ),
         # kernel refine = the scale path (BENCH/polygon_scale.json: 2.1x
         # the expr form at 10^6 rows); expr is value-identical
@@ -215,6 +219,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             octagons_from_rects(rects.rects_b(s, d)),
             GRID,
             refine="kernel",
+            validate=False,
         ),
         # polygon join with mixed-resolution adaptive cells — hot coarse
         # cells subdivide 2 finer and the SAT refine sees the SHRUNKEN
@@ -225,6 +230,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             octagons_from_rects(rects.rects_b(s, d)),
             GRID,
             refine="kernel",
+            validate=False,
             hot_threshold=2000,
             levels_finer=2,
             sample_fraction=0.25,

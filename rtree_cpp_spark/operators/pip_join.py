@@ -123,6 +123,7 @@ def polygon_pip_join(
     grid: Grid,
     id_col: str = "doc_id",
     refine: str = "expr",
+    validate: bool = True,
 ) -> DataFrame:
     """TRUE point-in-polygon join (north_star: "point-in-polygon joins")
     — generalizes :func:`pip_join` from rects to arbitrary CONVEX
@@ -162,7 +163,6 @@ def polygon_pip_join(
     """
     if refine not in ("expr", "kernel"):
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
-    polygons = _with_ring_check(polygons)
     cols = polygons.columns
     if not {"min_x", "min_y", "max_x", "max_y"}.issubset(cols):
         polygons = polygons.select(
@@ -170,17 +170,21 @@ def polygon_pip_join(
             F.array_min("xs").alias("min_x"), F.array_min("ys").alias("min_y"),
             F.array_max("xs").alias("max_x"), F.array_max("ys").alias("max_y"),
         )
+    # ring validation attaches to the verts branch (the only branch
+    # that consumes ring payloads); see polygon_join's docstring for
+    # the validate tradeoff on plan-computed rings
+    vg = _with_ring_check(polygons) if validate else polygons
     # fan_out: PIP refine (expr fold or Arrow kernel) runs pre-shuffle
-    # on a broadcast-join pipeline — don't inherit a 1-split scan
+    # on a broadcast-join pipeline — don't inherit a 1-split scan.
+    # SLIM: the cell join carries the polygon id + bbox only; ring
+    # payloads are re-attached by id for bbox survivors
     p = fan_out(points).select(
         "point_id",
         F.col("x").cast("double").alias("x"),
         F.col("y").cast("double").alias("y"),
     ).withColumn("cell", grid.cell_of_point_col(F.col("x"), F.col("y")))
     g = with_cover_cells(
-        fan_out(polygons).select(
-            id_col, "xs", "ys", "min_x", "min_y", "max_x", "max_y"
-        ),
+        fan_out(polygons).select(id_col, "min_x", "min_y", "max_x", "max_y"),
         grid,
     )
     n = F.size(F.col("xs"))
@@ -205,7 +209,12 @@ def polygon_pip_join(
         (px >= F.col("min_x")) & (px <= F.col("max_x"))
         & (py >= F.col("min_y")) & (py <= F.col("max_y"))
     )
-    cand = p.join(g, "cell").where(bbox_hit)
+    cand = (
+        p.join(g, "cell")
+        .where(bbox_hit)
+        .select("point_id", "x", "y", id_col)
+        .join(vg.select(id_col, "xs", "ys"), id_col)
+    )
     if refine == "expr":
         return cand.where(inside).select("point_id", id_col)
     out = cand.select(
@@ -230,6 +239,21 @@ def _ragged(col):
     offs = col.offsets.to_numpy()
     flat = col.values.to_numpy(zero_copy_only=False)
     return np.diff(offs), offs[:-1].astype(np.int64), flat
+
+
+def _check_lens(lens_x, lens_y):
+    """Ring-arity guard from the Arrow list offsets (already in hand —
+    zero extra cost): every ring needs >= 3 vertices and equal-length
+    coordinate arrays.  Runs in BOTH kernels regardless of ``validate``
+    so degenerate rings can never produce silent wrong answers."""
+    import numpy as np
+
+    if lens_x.size and (lens_x.min() < 3 or not np.array_equal(lens_x, lens_y)):
+        raise ValueError(
+            "polygon ring needs >= 3 vertices and len(xs) == len(ys); "
+            f"got min len(xs)={int(lens_x.min())}"
+            + ("" if np.array_equal(lens_x, lens_y) else ", len(xs) != len(ys)")
+        )
 
 
 def _gather(starts, n, flat):
@@ -260,7 +284,8 @@ def _pip_kernel(batches):
         px = col["x"].to_numpy(zero_copy_only=False)
         py = col["y"].to_numpy(zero_copy_only=False)
         lens, starts_x, fx = _ragged(col["xs"])
-        _, starts_y, fy = _ragged(col["ys"])
+        lens_y, starts_y, fy = _ragged(col["ys"])
+        _check_lens(lens, lens_y)
         keep = np.zeros(batch.num_rows, dtype=bool)
         for n in np.unique(lens):
             idx = np.nonzero(lens == n)[0]
@@ -326,9 +351,11 @@ def _sat_kernel(batches):
                 [col[n] for n in out_names], names=out_names)
             continue
         lens_a, st_ax, fax = _ragged(col["a_xs"])
-        _, st_ay, fay = _ragged(col["a_ys"])
+        lens_ay, st_ay, fay = _ragged(col["a_ys"])
         lens_b, st_bx, fbx = _ragged(col["b_xs"])
-        _, st_by, fby = _ragged(col["b_ys"])
+        lens_by, st_by, fby = _ragged(col["b_ys"])
+        _check_lens(lens_a, lens_ay)
+        _check_lens(lens_b, lens_by)
         keep = np.zeros(batch.num_rows, dtype=bool)
         for na in np.unique(lens_a):
             sel_a = lens_a == na
@@ -377,6 +404,7 @@ def polygon_join(
     levels_finer: int | None = None,
     sample_fraction: float = 1.0,
     keep_cell: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Convex-polygon × convex-polygon INTERSECTION join via the
     separating-axis test — the polygon generalization of the engine's
@@ -422,14 +450,25 @@ def polygon_join(
       the skew defense that actually pays for polygons, where each
       surviving candidate costs a SAT refine (BENCH/polygon_skew.json).
 
-    Precondition (both modes, checked in-plan): rings have >= 3
-    vertices and ``len(xs) == len(ys)``; degenerate rings fail fast."""
+    Precondition: rings have >= 3 vertices and ``len(xs) == len(ys)``.
+    With ``validate=True`` (default) the check rides the ring-payload
+    scans as an in-plan fail-fast filter — cheap for STORED array
+    columns (a size() over list offsets), but for PLAN-COMPUTED rings
+    (e.g. octagons_from_rects) predicate pushdown inlines the whole
+    CreateArray expression into the filter, which is measurably
+    expensive; pass ``validate=False`` for rings a plan constructs
+    with statically valid arity.  The Arrow kernel independently
+    asserts ring arity from the list offsets (free), so degenerate
+    rings can never produce silent wrong answers in kernel mode."""
     if refine not in ("expr", "kernel"):
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
     if levels_finer is not None and hot_threshold is None:
         raise ValueError("levels_finer requires hot_threshold (the hot-cell census)")
-    polys_a = _with_ring_check(polys_a)
-    polys_b = _with_ring_check(polys_b)
+    # ring validation attaches to the verts branch below (the only
+    # branch that consumes ring payloads); the slim cell join never
+    # touches the arrays
+    va = _with_ring_check(polys_a) if validate else polys_a
+    vb = _with_ring_check(polys_b) if validate else polys_b
 
     def prep(df: DataFrame, p: str) -> DataFrame:
         if not {"min_x", "min_y", "max_x", "max_y"}.issubset(df.columns):
@@ -528,14 +567,14 @@ def polygon_join(
     cand = (
         cand.select(*out_cols)
         .join(
-            polys_a.select(
+            va.select(
                 F.col("doc_id").alias("a_doc_id"),
                 F.col("xs").alias("a_xs"), F.col("ys").alias("a_ys"),
             ),
             "a_doc_id",
         )
         .join(
-            polys_b.select(
+            vb.select(
                 F.col("doc_id").alias("b_doc_id"),
                 F.col("xs").alias("b_xs"), F.col("ys").alias("b_ys"),
             ),
