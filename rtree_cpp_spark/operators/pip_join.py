@@ -477,14 +477,16 @@ def polygon_join(
                 F.array_min("xs").alias("min_x"), F.array_min("ys").alias("min_y"),
                 F.array_max("xs").alias("max_x"), F.array_max("ys").alias("max_y"),
             )
-        # fan_out: the explode→join pipeline runs pre-shuffle when the
-        # cell join broadcasts — don't inherit a 1-split scan.  SLIM:
-        # the cell join carries ids + bboxes only; vertex arrays are
-        # re-attached by id AFTER the bbox filter, so the join's
-        # candidate blow-up (~40x the inputs at bench scale) never
-        # copies ring payloads (measured 7.6s → the rect join's 1.7s
-        # shape at sf0.1).
-        df = fan_out(df)
+        # fan_out only on the plain path: with no hot-cell census the
+        # cell join typically broadcasts and the whole explode→join→
+        # kernel pipeline would inherit a 1-split scan; the salted and
+        # adaptive modes shuffle on their key anyway, where an extra
+        # repartition is pure overhead.  SLIM: the cell join carries
+        # ids + bboxes only; vertex arrays are re-attached by id AFTER
+        # the bbox filter, so the join's candidate blow-up (~40x the
+        # inputs at bench scale) never copies ring payloads.
+        if hot_threshold is None:
+            df = fan_out(df)
         return with_cover_cells(
             df.select(
                 F.col("doc_id").alias(f"{p}doc_id"),

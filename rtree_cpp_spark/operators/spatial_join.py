@@ -25,6 +25,10 @@ from rtree_cpp_spark.operators.cover import ref_point_cell_col, with_cover_cells
 
 
 def _a_side(a_rects: DataFrame, grid: Grid) -> DataFrame:
+    # no fan_out here: every rect-join variant shuffles on its cell key,
+    # which re-parallelizes the heavy side regardless of scan splits; a
+    # pre-explode repartition measured as pure overhead (~0.4s at sf0.1).
+    # fan_out belongs on broadcast/no-shuffle kernel pipelines (pip_join).
     return with_cover_cells(
         a_rects.select(
             F.col("doc_id").alias("a_doc_id"),
