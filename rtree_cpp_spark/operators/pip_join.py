@@ -508,11 +508,15 @@ def polygon_join(
             if sample_fraction >= 1.0
             else prep(polys_a.sample(fraction=sample_fraction, seed=42), "a_")
         )
+        # persist: the hot set feeds both sides' broadcast joins and
+        # Spark does not reuse the exchange across them (see
+        # spatial_join_salted) — cache the O(hot cells) result so the
+        # census computes once.
         census = (
             census_src.groupBy("cell")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_threshold * sample_fraction)
-        )
+        ).persist()
     if hot_threshold is not None and levels_finer is not None:
         from rtree_cpp_spark.operators.spatial_join import (
             adaptive_keep_col,

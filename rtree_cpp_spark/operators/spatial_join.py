@@ -304,12 +304,15 @@ def _adaptive_candidates(
         if sample_fraction >= 1.0
         else _a_side(a_rects.sample(fraction=sample_fraction, seed=42), grid)
     )
+    # persist: both sides' rekeys broadcast this hot set and Spark does
+    # not reuse the exchange across them (see spatial_join_salted) —
+    # cache the O(hot cells) result so the census computes once.
     hot = (
         census_src.groupBy("cell")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > hot_threshold * sample_fraction)
         .select("cell", F.lit(True).alias("_hot"))
-    )
+    ).persist()
     return adaptive_rekey(a, "a_", grid, hot, levels_finer).join(
         adaptive_rekey(_b_side(b_rects, grid), "b_", grid, hot, levels_finer), "key"
     )
@@ -344,12 +347,17 @@ def spatial_join_salted(
         else _a_side(a_rects.sample(fraction=sample_fraction, seed=42), grid)
     )
     scaled_threshold = hot_threshold * sample_fraction
+    # persist: the hot set feeds BOTH sides' broadcast joins and Spark
+    # does not reuse the exchange across them (measured: the census
+    # explode+agg executed twice, ~33% of the salted wall at sf0.1) —
+    # caching the O(hot cells) result makes it compute once.  Tiny by
+    # construction, so never unpersisted.
     hot = (
         census_src.groupBy("cell")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > scaled_threshold)
         .select("cell", F.lit(n_salt).alias("_n_salt"))
-    )
+    ).persist()
     a = a.join(F.broadcast(hot), "cell", "left").withColumn(
         "salt",
         F.when(F.col("_n_salt").isNull(), F.lit(0)).otherwise(
