@@ -517,6 +517,16 @@ def polygon_join(
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_threshold * sample_fraction)
         ).persist()
+        # Empty-census fast path (see spatial_join_salted): with no hot
+        # cells both the salted and adaptive paths degenerate to the
+        # plain cell join — rebuild the sides through the plain prep so
+        # they also regain its fan_out/broadcast-shape treatment, and
+        # fall through to the unsalted branch.  Bounded planning probe
+        # on the already-persisted O(hot cells) census.
+        if census.isEmpty():
+            hot_threshold = None
+            levels_finer = None
+            pa, pb = prep(polys_a, "a_"), prep(polys_b, "b_")
     if hot_threshold is not None and levels_finer is not None:
         from rtree_cpp_spark.operators.spatial_join import (
             adaptive_keep_col,

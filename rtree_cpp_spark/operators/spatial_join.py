@@ -313,6 +313,16 @@ def _adaptive_candidates(
         .where(F.col("_n") > hot_threshold * sample_fraction)
         .select("cell", F.lit(True).alias("_hot"))
     ).persist()
+    # Empty-census fast path: nothing subdivides, so the mixed-key
+    # rekey is the identity on the coarse key — join directly and skip
+    # both sides' broadcast join + explode machinery.  Downstream,
+    # adaptive_keep_col's coarse branch IS the plain reference-point
+    # rule (no key ever reaches the fine offset), so output rows are
+    # unchanged.  Same bounded planning probe as spatial_join_salted.
+    if hot.isEmpty():
+        return a.withColumnRenamed("cell", "key").join(
+            _b_side(b_rects, grid).withColumnRenamed("cell", "key"), "key"
+        )
     return adaptive_rekey(a, "a_", grid, hot, levels_finer).join(
         adaptive_rekey(_b_side(b_rects, grid), "b_", grid, hot, levels_finer), "key"
     )
@@ -358,6 +368,15 @@ def spatial_join_salted(
         .where(F.col("_n") > scaled_threshold)
         .select("cell", F.lit(n_salt).alias("_n_salt"))
     ).persist()
+    # Empty-census fast path: with no hot cells the salt column is the
+    # constant 0 on both sides and the (cell, salt) join degenerates to
+    # the plain cell join — skip both broadcast joins and the B-side
+    # fan-out entirely.  The emptiness probe is a bounded planning
+    # action on the already-persisted O(hot cells) census (same class
+    # as the layout medians), so on uniform data salting costs exactly
+    # one census pass over the (sampled) A cover and nothing else.
+    if hot.isEmpty():
+        return _refine(a.join(b, "cell"), grid, keep_cell)
     a = a.join(F.broadcast(hot), "cell", "left").withColumn(
         "salt",
         F.when(F.col("_n_salt").isNull(), F.lit(0)).otherwise(

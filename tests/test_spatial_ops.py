@@ -119,6 +119,36 @@ def test_adaptive_join_sampled_census_and_keep_cell(
     assert (gp["cell"].to_numpy() == grid.cell_of_point(rx, ry)).all()
 
 
+def test_census_empty_fast_path_identity(
+    spark, rects_a_df, rects_b_df, rects_a_pdf, rects_b_pdf
+):
+    # hot_threshold far above any cell's count → the census is empty and
+    # the salted/adaptive variants take the fast path (plain cell join,
+    # no broadcast/rekey machinery); outputs must still be identical
+    grid = Grid(6)
+    exp = brute.join_brute(rects_a_pdf, rects_b_pdf)
+    salted = spatial_join_salted(
+        rects_a_df, rects_b_df, grid, hot_threshold=10**9, n_salt=4
+    )
+    assert_same_rows(salted, exp)
+    adaptive = spatial_join_adaptive(
+        rects_a_df, rects_b_df, grid, hot_threshold=10**9, levels_finer=2, keep_cell=True
+    )
+    assert_same_rows(adaptive.drop("cell"), exp)
+
+    from rtree_cpp_spark.operators.pip_join import octagons_from_rects, polygon_join
+
+    oa = octagons_from_rects(spark.createDataFrame(rects_a_pdf.iloc[:80]))
+    ob = octagons_from_rects(spark.createDataFrame(rects_b_pdf.iloc[:80]))
+    plain = polygon_join(oa, ob, grid).toPandas()
+    assert len(plain) > 0
+    for kw in (
+        {"hot_threshold": 10**9},
+        {"hot_threshold": 10**9, "levels_finer": 2},
+    ):
+        assert_same_rows(polygon_join(oa, ob, grid, **kw), plain)
+
+
 def test_adaptive_join_reduces_hot_cell_candidates(spark):
     # one dense cluster inside a single coarse cell: subdivision must cut
     # the candidate (pre-refine) pair count, not merely re-shard it
