@@ -76,25 +76,41 @@ def _jvm_control(spark) -> float:
 
 
 def _code_rev() -> str:
-    """Identity of the current code state: HEAD sha + a hash of the
-    working-tree diff — attempts merge only when the engine is
-    byte-identical."""
+    """Identity of the current code state: a content hash over every
+    tracked + untracked (non-ignored) .py file in the repo — attempts
+    merge only when the ENGINE is byte-identical.  Content-based rather
+    than HEAD-based on purpose: committing bench artifacts or docs moves
+    HEAD without touching a line of engine code, and a HEAD key would
+    discard the merge set exactly when a fresh single attempt (e.g. the
+    round driver's own run) most needs noise-robust partners."""
     import hashlib
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
     try:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
-        ).stdout.strip()
-        diff = subprocess.run(
-            ["git", "diff", "HEAD", "--", "*.py"], cwd=root, capture_output=True, text=True
-        ).stdout
+        tracked = subprocess.run(
+            ["git", "ls-files", "--", "*.py"],
+            cwd=root, capture_output=True, text=True,
+        ).stdout.splitlines()
+        untracked = subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard", "--", "*.py"],
+            cwd=root, capture_output=True, text=True,
+        ).stdout.splitlines()
     except OSError:
         return "nogit"
-    if not diff:
-        return head
-    return f"{head}+{hashlib.sha256(diff.encode()).hexdigest()[:12]}"
+    h = hashlib.sha256()
+    for rel in sorted(set(tracked) | set(untracked)):
+        path = os.path.join(root, rel)
+        try:
+            with open(path, "rb") as f:
+                body = f.read()
+        except OSError:
+            body = b"<unreadable>"
+        h.update(rel.encode())
+        h.update(b"\x00")
+        h.update(body)
+        h.update(b"\x00")
+    return f"py-{h.hexdigest()[:16]}"
 
 
 def main() -> None:
