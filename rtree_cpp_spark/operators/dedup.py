@@ -197,8 +197,12 @@ def duplicate_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # carry the OLD label through the round so convergence is a flag
+        # column on the round's own output — a scan of the checkpointed
+        # result, not an extra N-row join against the previous table
         prop = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
+            F.col("component_id").alias("_old"),
             F.least(
                 F.col("component_id"), F.coalesce("nbr_min", "component_id")
             ).alias("component_id"),
@@ -211,15 +215,14 @@ def duplicate_components(
                 F.col("component_id").alias("root"),
             ),
             "component_id",
-        ).select("doc_id", F.col("root").alias("component_id"))
-        new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
+        ).select(
+            "doc_id",
+            F.col("root").alias("component_id"),
+            (F.col("root") != F.col("_old")).alias("_changed"),
         )
-        labels = new_labels
+        new_labels = jumped.localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
