@@ -259,6 +259,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": lambda s, d: dedup.jaccard_pairs(_docs(s, d), threshold=0.5),
         "dedup_components": lambda s, d: dedup.duplicate_components(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "text_shingle_dup": lambda s, d: dedup.shingle_dup_stats(_docs(s, d)),
         "pipeline_curation": lambda s, d: _curate(s, d),
         # --- similarity search ---
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d), n_queries=20, k=5),
@@ -422,7 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows (every member column still value-gated) to keep the
         # surface <= 50 with room for the new operators above
         "text_stats": _joined(
-            f, ["text_token_stats", "text_lang_id", "text_quality", "text_bpe_tokens"]
+            f,
+            ["text_token_stats", "text_lang_id", "text_quality", "text_bpe_tokens",
+             "text_shingle_dup"],
         ),
         "text_hashes": _joined(f, ["text_fingerprint", "text_rolling_hash"]),
         "text_chunks": f["text_chunks"],
@@ -1152,13 +1155,35 @@ def oracle_sql() -> dict[str, str]:
         f"(acc, c) -> (acc * {text_analysis.ROLL_B} + c) % {text_analysis.ROLL_P}) "
         "AS roll_hash FROM documents"
     )
+    # cross-document duplicated-shingle stats (operators/dedup.py
+    # shingle_dup_stats): distinct postings → min!=max cross-doc test →
+    # per-doc counts; same 3-gram construction as the MinHash CTEs
+    shingle_dup_sql = (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 3), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
+        "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)), "
+        "cross_dup AS (SELECT shingle, MIN(doc_id) <> MAX(doc_id) AS is_dup "
+        "FROM sh GROUP BY shingle), "
+        "per_doc AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        "CAST(SUM(CASE WHEN c.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles "
+        "FROM sh s JOIN cross_dup c USING (shingle) GROUP BY s.doc_id) "
+        "SELECT d.doc_id, COALESCE(p.n_shingles, 0) AS n_shingles, "
+        "COALESCE(p.n_dup_shingles, 0) AS n_dup_shingles, "
+        "CASE WHEN COALESCE(p.n_shingles, 0) > 0 "
+        "THEN CAST(p.n_dup_shingles AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) "
+        "ELSE 0.0e0 END AS dup_fraction "
+        "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+    )
     # joined gate rows: per-doc maps composed on doc_id (row-preserving)
     text_stats_sql = (
         f"SELECT a.doc_id, a.n_tokens, a.n_distinct_tokens, a.n_chars, "
         "b.stop_ratio, b.lang_pred, c.quality, "
-        "d.n_bpe_tokens, d.n_word_tokens, d.n_symbol_tokens "
+        "d.n_bpe_tokens, d.n_word_tokens, d.n_symbol_tokens, "
+        "e.n_shingles, e.n_dup_shingles, e.dup_fraction "
         f"FROM ({tok_sql}) a JOIN ({lang_sql}) b USING (doc_id) "
-        f"JOIN ({qual_sql}) c USING (doc_id) JOIN ({bpe_sql}) d USING (doc_id)"
+        f"JOIN ({qual_sql}) c USING (doc_id) JOIN ({bpe_sql}) d USING (doc_id) "
+        f"JOIN ({shingle_dup_sql}) e USING (doc_id)"
     )
     text_hashes_sql = (
         f"SELECT a.doc_id, a.fp_hash, a.fp64, b.roll_hash "

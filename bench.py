@@ -173,6 +173,7 @@ def main() -> None:
         "pack_sequences",
         "text_vocab",
         "text_tfidf",
+        "text_shingle_dup",
         "emb_quantize",
         "spatial_antijoin",
         "multimodal_frame_meta",

@@ -228,6 +228,53 @@ def duplicate_components(
     return labels
 
 
+def shingle_dup_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_dup_shingles, dup_fraction): per-document
+    CROSS-DOCUMENT duplicated-span statistic — for each doc, how many of
+    its distinct word n-gram shingles also occur in at least one OTHER
+    document.  The substring-level view of corpus duplication (the
+    "duplicated spans" signal substring-dedup pipelines act on), at
+    shingle granularity so it composes with the MinHash machinery above
+    and never materializes suffix structures.
+
+    Scale plan: distinct (doc, shingle) postings → per-shingle
+    cross-doc test as ``min(doc_id) != max(doc_id)`` (NO countDistinct —
+    min/max agg with map-side partials decides "appears in >= 2 docs"
+    exactly, because postings are distinct per doc) → equi-join back on
+    shingle → per-doc counts.  Two aggregations + one equi-join, all
+    map-side-combinable; nothing is all-pairs and nothing leaves the
+    JVM.  Docs with < n tokens have no shingles: restored by a left
+    join with zero counts and dup_fraction 0.0.
+    """
+    toks = _tokens(F.col("text"))
+    sh = (
+        docs.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(_shingles(toks, n)).alias("shingle"))
+        .distinct()
+    )
+    cross = sh.groupBy("shingle").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
+    per_doc = (
+        sh.join(cross, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_shingles"),
+        )
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
+    n_dup = F.coalesce(F.col("n_dup_shingles"), F.lit(0).cast("long"))
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        n_dup.alias("n_dup_shingles"),
+        F.when(
+            n_sh > 0, n_dup.cast("double") / n_sh.cast("double")
+        ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): signed-bit-sum signature over token hashes.
     Bit j is 1 iff sum over token occurrences of ±1 (per hash bit j) >= 0.

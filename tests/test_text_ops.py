@@ -560,3 +560,34 @@ def test_events_transitions_counts_and_order(spark):
     # user 1: a->b (tie ts broken by event_id), b->a; user 2: x->y;
     # user 3: single event, no transition
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("x", "y"): 1}
+
+
+def test_shingle_dup_stats(spark):
+    """Cross-doc duplicated-shingle stats: closed-form fixture covering
+    a shared shingle (cross-doc dup), a doc whose only repetition is
+    WITHIN itself (not a cross-doc dup), and a doc too short to shingle
+    (restored with zero counts)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # docs 0 and 1 share the shingle "a b c"
+                "a b c d",        # shingles: "a b c", "b c d"
+                "z a b c",        # shingles: "z a b", "a b c"
+                # doc 2 repeats its own shingle but shares none: "p q p"
+                # appears twice IN doc 2 only -> distinct postings, so
+                # min(doc)=max(doc) -> NOT a cross-doc dup
+                "p q p q p",      # shingles: "p q p", "q p q", "p q p"
+                "xy",             # < 3 tokens: no shingles
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["dup_fraction"])
+        for r in dedup.shingle_dup_stats(docs).collect()
+    }
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 0, 0.0)  # distinct shingles: "p q p", "q p q"
+    assert got[3] == (0, 0, 0.0)
